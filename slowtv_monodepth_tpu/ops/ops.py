@@ -1,0 +1,86 @@
+"""Array utilities shared across the framework (JAX, NHWC layout).
+
+Behavioural equivalents of the reference's `src/tools/ops.py` helpers that the
+compute path needs (eps `ops.py:63`, standardize `:250-267`, mean_normalize
+`:279-286`, eye_like `:292-308`, interpolate_like `:311-314`), re-designed for
+XLA: everything is shape-static, functional, and NHWC.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    'eps', 'standardize', 'unstandardize', 'to_gray', 'mean_normalize',
+    'eye_like', 'resize', 'resize_like', 'upsample2x_nearest',
+]
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+_GRAY_COEFFS = (0.299, 0.587, 0.114)
+
+
+def eps(x: Union[jnp.ndarray, jnp.dtype, None] = None) -> float:
+    """Machine epsilon for the input's dtype (default float32 ~1.19e-7)."""
+    dtype = jnp.float32 if x is None else (x.dtype if hasattr(x, 'dtype') else x)
+    return float(jnp.finfo(dtype).eps)
+
+
+def standardize(x: jnp.ndarray, mean=IMAGENET_MEAN, std=IMAGENET_STD) -> jnp.ndarray:
+    """ImageNet-standardize an NHWC (or HWC) image in [0, 1]."""
+    mean = jnp.asarray(mean, x.dtype)
+    std = jnp.asarray(std, x.dtype)
+    return (x - mean) / std
+
+
+def unstandardize(x: jnp.ndarray, mean=IMAGENET_MEAN, std=IMAGENET_STD) -> jnp.ndarray:
+    mean = jnp.asarray(mean, x.dtype)
+    std = jnp.asarray(std, x.dtype)
+    return x * std + mean
+
+
+def to_gray(x: jnp.ndarray, keepdims: bool = False) -> jnp.ndarray:
+    """RGB (…, 3) -> grayscale (…, 1|)."""
+    coeffs = jnp.asarray(_GRAY_COEFFS, x.dtype)
+    return (x * coeffs).sum(axis=-1, keepdims=keepdims)
+
+
+def mean_normalize(x: jnp.ndarray, axis: Sequence[int] = (1, 2)) -> jnp.ndarray:
+    """Divide by the spatial mean (ref `ops.py:279-286`; NHWC axes (1, 2))."""
+    m = x.mean(axis=tuple(axis), keepdims=True)
+    return x / jnp.clip(m, min=eps(x))
+
+
+def eye_like(x: jnp.ndarray) -> jnp.ndarray:
+    """Identity matrix broadcast to the input's (*, n, n) batch shape."""
+    n = x.shape[-1]
+    if x.ndim < 2 or x.shape[-2] != n:
+        raise ValueError(f'Input must be (*, n, n). Got {x.shape}')
+    return jnp.broadcast_to(jnp.eye(n, dtype=x.dtype), x.shape)
+
+
+def resize(x: jnp.ndarray, shape: tuple[int, int], method: str = 'bilinear') -> jnp.ndarray:
+    """Resize NHWC images to `shape=(h, w)`.
+
+    `bilinear` matches torch's `align_corners=False` (half-pixel centers) —
+    the convention used everywhere in the reference (`F.interpolate` defaults).
+    """
+    if x.shape[1:3] == tuple(shape):
+        return x
+    jax_method = {'bilinear': 'linear', 'nearest': 'nearest', 'bicubic': 'cubic'}[method]
+    out_shape = (x.shape[0], shape[0], shape[1], x.shape[3])
+    return jax.image.resize(x, out_shape, method=jax_method)
+
+
+def resize_like(x: jnp.ndarray, other: jnp.ndarray, method: str = 'bilinear') -> jnp.ndarray:
+    """Resize `x` to the spatial size of `other` (ref `interpolate_like`)."""
+    return resize(x, other.shape[1:3], method=method)
+
+
+def upsample2x_nearest(x: jnp.ndarray) -> jnp.ndarray:
+    """Fast 2x nearest upsample for NHWC (decoder hot path; avoids gather)."""
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return x.reshape(b, 2 * h, 2 * w, c)
