@@ -1,0 +1,32 @@
+"""Feature-pyramid encoders (the timm `features_only=True` equivalent).
+
+The reference builds encoders with `timm.create_model(name,
+features_only=True)` (`src/networks/depth.py:95-98`). Here each encoder is a
+native Flax module returning the multi-scale feature list plus static
+`channels`/`reductions` metadata; `create_encoder` is the factory the networks
+use. Pretrained timm/torch weights are imported via
+`import_torch.convert_state_dict` when a checkpoint file is supplied.
+"""
+from .resnet import ResNetEncoder, RESNET_SPECS
+from .convnext import ConvNeXtEncoder, CONVNEXT_SPECS
+
+__all__ = ['create_encoder', 'ENCODER_SPECS', 'ResNetEncoder', 'ConvNeXtEncoder',
+           'RESNET_SPECS', 'CONVNEXT_SPECS']
+
+ENCODER_SPECS = {**RESNET_SPECS, **CONVNEXT_SPECS}
+
+
+def create_encoder(name: str, in_chans: int = 3):
+    """Build an encoder module by timm-style name (e.g. 'resnet18', 'convnext_base').
+
+    :return: (module, channels per stage, reduction per stage)
+    """
+    if name in RESNET_SPECS:
+        spec = RESNET_SPECS[name]
+        enc = ResNetEncoder(block=spec['block'], layers=spec['layers'], in_chans=in_chans)
+    elif name in CONVNEXT_SPECS:
+        spec = CONVNEXT_SPECS[name]
+        enc = ConvNeXtEncoder(depths=spec['depths'], dims=spec['dims'], in_chans=in_chans)
+    else:
+        raise KeyError(f'Unknown encoder "{name}". Available: {sorted(ENCODER_SPECS)}')
+    return enc, list(spec['channels']), list(spec['reductions'])

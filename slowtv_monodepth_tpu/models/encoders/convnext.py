@@ -1,0 +1,79 @@
+"""ConvNeXt feature encoders (Flax, NHWC) with timm `features_only` semantics.
+
+The KBR flagship uses `convnext_base` (depth) + `convnext_tiny` (pose)
+(`cfg/kbr/default.yaml` net block). Stage outputs at strides [4, 8, 16, 32].
+Block structure follows timm's ConvNeXt (dwconv 7x7 -> LN -> pwconv x4 ->
+GELU -> pwconv -> layer-scale gamma -> residual); NHWC means the LN/MLP run
+natively on the channel-last axis, which is exactly the layout the MXU wants
+for the two pointwise matmuls.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+__all__ = ['ConvNeXtEncoder', 'CONVNEXT_SPECS']
+
+
+CONVNEXT_SPECS = {
+    'convnext_atto': dict(depths=(2, 2, 6, 2), dims=(40, 80, 160, 320),
+                          channels=(40, 80, 160, 320), reductions=(4, 8, 16, 32)),
+    'convnext_femto': dict(depths=(2, 2, 6, 2), dims=(48, 96, 192, 384),
+                           channels=(48, 96, 192, 384), reductions=(4, 8, 16, 32)),
+    'convnext_pico': dict(depths=(2, 2, 6, 2), dims=(64, 128, 256, 512),
+                          channels=(64, 128, 256, 512), reductions=(4, 8, 16, 32)),
+    'convnext_nano': dict(depths=(2, 2, 8, 2), dims=(80, 160, 320, 640),
+                          channels=(80, 160, 320, 640), reductions=(4, 8, 16, 32)),
+    'convnext_tiny': dict(depths=(3, 3, 9, 3), dims=(96, 192, 384, 768),
+                          channels=(96, 192, 384, 768), reductions=(4, 8, 16, 32)),
+    'convnext_small': dict(depths=(3, 3, 27, 3), dims=(96, 192, 384, 768),
+                           channels=(96, 192, 384, 768), reductions=(4, 8, 16, 32)),
+    'convnext_base': dict(depths=(3, 3, 27, 3), dims=(128, 256, 512, 1024),
+                          channels=(128, 256, 512, 1024), reductions=(4, 8, 16, 32)),
+    'convnext_large': dict(depths=(3, 3, 27, 3), dims=(192, 384, 768, 1536),
+                           channels=(192, 384, 768, 1536), reductions=(4, 8, 16, 32)),
+}
+
+
+class ConvNeXtBlock(nn.Module):
+    dim: int
+    ls_init: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        shortcut = x
+        # Depthwise 7x7.
+        x = nn.Conv(self.dim, (7, 7), padding=3, feature_group_count=self.dim,
+                    name='conv_dw')(x)
+        x = nn.LayerNorm(epsilon=1e-6, name='norm')(x)
+        x = nn.Dense(4 * self.dim, name='mlp_fc1')(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dense(self.dim, name='mlp_fc2')(x)
+        gamma = self.param('gamma', nn.initializers.constant(self.ls_init), (self.dim,))
+        return shortcut + gamma * x
+
+
+class ConvNeXtEncoder(nn.Module):
+    """ConvNeXt backbone returning 4 feature maps at strides [4, 8, 16, 32]."""
+    depths: Sequence[int] = (3, 3, 9, 3)
+    dims: Sequence[int] = (96, 192, 384, 768)
+    in_chans: int = 3
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> list[jnp.ndarray]:
+        del train  # No batch statistics; kept for the encoder interface.
+        feats = []
+        # Stem: 4x4/4 conv + LN.
+        x = nn.Conv(self.dims[0], (4, 4), (4, 4), name='stem_conv')(x)
+        x = nn.LayerNorm(epsilon=1e-6, name='stem_norm')(x)
+
+        for stage in range(4):
+            if stage > 0:
+                x = nn.LayerNorm(epsilon=1e-6, name=f'stage{stage}_ds_norm')(x)
+                x = nn.Conv(self.dims[stage], (2, 2), (2, 2), name=f'stage{stage}_ds_conv')(x)
+            for i in range(self.depths[stage]):
+                x = ConvNeXtBlock(self.dims[stage], name=f'stage{stage}_block{i}')(x)
+            feats.append(x)
+        return feats

@@ -1,0 +1,266 @@
+"""Model tests: output contracts for all decoders/nets + torch weight-import parity."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn as nn
+
+from slowtv_monodepth_tpu.models import AutoencoderNet, DepthNet, PoseNet
+from slowtv_monodepth_tpu.models.encoders import ConvNeXtEncoder, ResNetEncoder
+from slowtv_monodepth_tpu.models.encoders.import_torch import (
+    adapt_input_conv, convert_convnext, convert_resnet,
+)
+
+RNG = np.random.default_rng(3)
+KEY = jax.random.PRNGKey(0)
+
+
+# ---------------------------------------------------------------- encoders
+def test_resnet18_feature_shapes():
+    enc = ResNetEncoder(block='basic', layers=(2, 2, 2, 2))
+    x = jnp.zeros((1, 64, 96, 3))
+    var = enc.init(KEY, x)
+    feats = enc.apply(var, x)
+    assert [f.shape for f in feats] == [
+        (1, 32, 48, 64), (1, 16, 24, 64), (1, 8, 12, 128), (1, 4, 6, 256), (1, 2, 3, 512)]
+
+
+def test_convnext_feature_shapes():
+    enc = ConvNeXtEncoder(depths=(1, 1, 1, 1), dims=(8, 16, 32, 64))
+    x = jnp.zeros((1, 64, 96, 3))
+    var = enc.init(KEY, x)
+    feats = enc.apply(var, x)
+    assert [f.shape for f in feats] == [
+        (1, 16, 24, 8), (1, 8, 12, 16), (1, 4, 6, 32), (1, 2, 3, 64)]
+
+
+# ------------------------------------------------- torch import parity
+class _TorchBasicBlock(nn.Module):
+    def __init__(self, cin, cout, stride):
+        super().__init__()
+        self.conv1 = nn.Conv2d(cin, cout, 3, stride, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(cout)
+        self.conv2 = nn.Conv2d(cout, cout, 3, 1, 1, bias=False)
+        self.bn2 = nn.BatchNorm2d(cout)
+        self.downsample = None
+        if stride != 1 or cin != cout:
+            self.downsample = nn.Sequential(
+                nn.Conv2d(cin, cout, 1, stride, bias=False), nn.BatchNorm2d(cout))
+
+    def forward(self, x):
+        idt = x if self.downsample is None else self.downsample(x)
+        out = self.bn2(self.conv2(torch.relu(self.bn1(self.conv1(x)))))
+        return torch.relu(out + idt)
+
+
+class _TorchResNet(nn.Module):
+    """Mini timm-style resnet (layers=(1,1,1,1)) for converter goldens."""
+
+    def __init__(self):
+        super().__init__()
+        self.conv1 = nn.Conv2d(3, 64, 7, 2, 3, bias=False)
+        self.bn1 = nn.BatchNorm2d(64)
+        self.maxpool = nn.MaxPool2d(3, 2, 1)
+        self.layer1 = nn.Sequential(_TorchBasicBlock(64, 64, 1))
+        self.layer2 = nn.Sequential(_TorchBasicBlock(64, 128, 2))
+        self.layer3 = nn.Sequential(_TorchBasicBlock(128, 256, 2))
+        self.layer4 = nn.Sequential(_TorchBasicBlock(256, 512, 2))
+
+    def forward(self, x):
+        feats = []
+        x = torch.relu(self.bn1(self.conv1(x)))
+        feats.append(x)
+        x = self.maxpool(x)
+        for layer in (self.layer1, self.layer2, self.layer3, self.layer4):
+            x = layer(x)
+            feats.append(x)
+        return feats
+
+
+def _randomize_bn_stats(mod):
+    for m in mod.modules():
+        if isinstance(m, (nn.BatchNorm2d, nn.LayerNorm)):
+            with torch.no_grad():
+                m.weight.uniform_(0.5, 1.5)
+                m.bias.uniform_(-0.5, 0.5)
+            if isinstance(m, nn.BatchNorm2d):
+                m.running_mean.uniform_(-0.5, 0.5)
+                m.running_var.uniform_(0.5, 1.5)
+
+
+def test_resnet_torch_import_parity():
+    """Random torch weights -> converter -> identical eval-mode features."""
+    tm = _TorchResNet().eval()
+    _randomize_bn_stats(tm)
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+
+    params, stats = convert_resnet(sd, layers=(1, 1, 1, 1), block='basic')
+    enc = ResNetEncoder(block='basic', layers=(1, 1, 1, 1))
+
+    x = RNG.standard_normal((2, 64, 96, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = [f.permute(0, 2, 3, 1).numpy()
+                for f in tm(torch.from_numpy(x).permute(0, 3, 1, 2))]
+    got = enc.apply({'params': params, 'batch_stats': stats}, jnp.asarray(x), train=False)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), w, rtol=1e-3, atol=1e-4)
+
+
+class _TorchConvNeXtBlock(nn.Module):
+    def __init__(self, dim):
+        super().__init__()
+        self.conv_dw = nn.Conv2d(dim, dim, 7, padding=3, groups=dim)
+        self.norm = nn.LayerNorm(dim, eps=1e-6)
+        self.mlp = nn.Sequential()
+        self.mlp.fc1 = nn.Linear(dim, 4 * dim)
+        self.mlp.fc2 = nn.Linear(4 * dim, dim)
+        self.gamma = nn.Parameter(1e-6 * torch.ones(dim))
+
+    def forward(self, x):
+        s = x
+        x = self.conv_dw(x).permute(0, 2, 3, 1)
+        x = self.mlp.fc2(torch.nn.functional.gelu(self.mlp.fc1(self.norm(x))))
+        return s + (self.gamma * x).permute(0, 3, 1, 2)
+
+
+class _TorchConvNeXt(nn.Module):
+    def __init__(self, dims=(8, 16, 32, 64), depths=(1, 1, 1, 1)):
+        super().__init__()
+        self.stem = nn.Sequential(nn.Conv2d(3, dims[0], 4, 4))
+        self.stem.add_module('1', nn.LayerNorm(dims[0], eps=1e-6))
+        self.stages = nn.ModuleList()
+        for i, (dim, depth) in enumerate(zip(dims, depths)):
+            stage = nn.Module()
+            if i > 0:
+                stage.downsample = nn.Sequential(nn.LayerNorm(dims[i - 1], eps=1e-6),
+                                                 nn.Conv2d(dims[i - 1], dim, 2, 2))
+            stage.blocks = nn.Sequential(*[_TorchConvNeXtBlock(dim) for _ in range(depth)])
+            self.stages.append(stage)
+
+    def forward(self, x):
+        x = self.stem[0](x)
+        x = self.stem[1](x.permute(0, 2, 3, 1)).permute(0, 3, 1, 2)
+        feats = []
+        for i, stage in enumerate(self.stages):
+            if i > 0:
+                x = stage.downsample[0](x.permute(0, 2, 3, 1)).permute(0, 3, 1, 2)
+                x = stage.downsample[1](x)
+            x = stage.blocks(x)
+            feats.append(x)
+        return feats
+
+
+def test_convnext_torch_import_parity():
+    tm = _TorchConvNeXt().eval()
+    _randomize_bn_stats(tm)
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    params = convert_convnext(sd, depths=(1, 1, 1, 1))
+    enc = ConvNeXtEncoder(depths=(1, 1, 1, 1), dims=(8, 16, 32, 64))
+
+    x = RNG.standard_normal((2, 64, 96, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = [f.permute(0, 2, 3, 1).numpy()
+                for f in tm(torch.from_numpy(x).permute(0, 3, 1, 2))]
+    got = enc.apply({'params': params}, jnp.asarray(x))
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), w, rtol=1e-3, atol=1e-4)
+
+
+def test_adapt_input_conv():
+    w = RNG.standard_normal((7, 7, 3, 64)).astype(np.float32)
+    w6 = adapt_input_conv(w, 6)
+    assert w6.shape == (7, 7, 6, 64)
+    # Constant input across duplicated channels gives the original response.
+    np.testing.assert_allclose(w6[..., :3, :] * 2, w, rtol=1e-5)
+
+
+# ---------------------------------------------------------------- decoders
+@pytest.mark.parametrize('dec_name', ['monodepth', 'hrdepth', 'ddvnet', 'diffnet',
+                                      'cadepth', 'superdepth'])
+@pytest.mark.parametrize('enc_kind', ['resnet', 'convnext'])
+def test_decoder_output_contract(dec_name, enc_kind):
+    from slowtv_monodepth_tpu import DEC_REG, trigger_networks
+    trigger_networks()
+
+    if enc_kind == 'resnet':
+        num_ch_enc, enc_sc = [16, 16, 24, 32, 40], [2, 4, 8, 16, 32]
+    else:
+        num_ch_enc, enc_sc = [16, 24, 32, 40], [4, 8, 16, 32]
+
+    h, w = 64, 96
+    feats = [jnp.asarray(RNG.standard_normal((1, h // s, w // s, c)).astype(np.float32))
+             for s, c in zip(enc_sc, num_ch_enc)]
+
+    dec = DEC_REG[dec_name](num_ch_enc=num_ch_enc, enc_sc=enc_sc, out_sc=(0, 1, 2, 3), out_ch=1)
+    var = dec.init(KEY, feats)
+    out = dec.apply(var, feats, mutable=['batch_stats'])[0] if dec_name == 'cadepth' \
+        else dec.apply(var, feats)
+
+    assert sorted(out) == [0, 1, 2, 3]
+    for s, v in out.items():
+        if dec_name == 'superdepth' and s > 0:
+            assert v.shape == (1, h, w, 1)  # Sub-pixel super-resolved outputs.
+        else:
+            assert v.shape == (1, h // 2 ** s, w // 2 ** s, 1)
+        vals = np.asarray(v)
+        assert np.all(vals >= 0) and np.all(vals <= 1)  # sigmoid range
+
+
+# ---------------------------------------------------------------- networks
+def test_depth_net_contract():
+    net = DepthNet(enc_name='resnet18', dec_name='monodepth', out_scales=(0, 1, 2, 3))
+    x = jnp.zeros((1, 64, 96, 3))
+    var = net.init(KEY, x)
+    out = net.apply(var, x)
+    assert set(out) == {'depth_feats', 'disp'}
+    assert sorted(out['disp']) == [0, 1, 2, 3]
+    assert out['disp'][0].shape == (1, 64, 96, 1)
+    assert out['disp'][3].shape == (1, 8, 12, 1)
+
+
+def test_depth_net_virtual_stereo_and_mask():
+    net = DepthNet(enc_name='resnet18', use_virtual_stereo=True,
+                   mask_name='explainability', num_ch_mask=2)
+    x = jnp.zeros((1, 32, 32, 3))
+    var = net.init(KEY, x)
+    out = net.apply(var, x)
+    assert out['disp'][0].shape == (1, 32, 32, 1)
+    assert out['disp_stereo'][0].shape == (1, 32, 32, 2)
+    assert out['mask'][0].shape == (1, 32, 32, 2)
+
+
+def test_depth_net_stereo_blend():
+    net = DepthNet(enc_name='resnet18', use_stereo_blend=True)
+    x = jnp.asarray(RNG.random((1, 32, 32, 3)).astype(np.float32))
+    var = net.init(KEY, x)
+    out = net.apply(var, x)
+    assert out['disp'][0].shape == (1, 32, 32, 1)
+
+
+def test_pose_net_contract():
+    net = PoseNet(enc_name='resnet18', learn_K=True)
+    x = jnp.zeros((2, 64, 96, 6))
+    var = net.init(KEY, x)
+    out = net.apply(var, x)
+    assert out['R'].shape == (2, 2, 3)
+    assert out['t'].shape == (2, 2, 3)
+    assert out['fs'].shape == (2, 2)
+    assert out['cs'].shape == (2, 2)
+    assert np.all(np.asarray(out['fs']) > 0)  # softplus
+    assert np.all((np.asarray(out['cs']) > 0) & (np.asarray(out['cs']) < 1))  # sigmoid
+    # pose_eps scaling keeps initial poses tiny.
+    assert float(jnp.abs(out['R']).max()) < 0.2
+
+    K = PoseNet.build_K(out['fs'], out['cs'])
+    assert K.shape == (2, 4, 4)
+    np.testing.assert_allclose(np.asarray(K)[:, 3, 3], 1.0)
+
+
+def test_autoencoder_contract():
+    net = AutoencoderNet(enc_name='resnet18')
+    x = jnp.zeros((1, 32, 32, 3))
+    var = net.init(KEY, x)
+    out = net.apply(var, x)
+    assert out['autoenc_imgs'][0].shape == (1, 32, 32, 3)
+    assert len(out['autoenc_feats']) == 5
