@@ -1,0 +1,98 @@
+"""Data-parallel runtime over a `jax.sharding.Mesh`.
+
+The TPU-native equivalent of the reference's only parallelism — single-node
+PyTorch-Lightning DDP over NCCL (`api/train/train.py:105-112`,
+`src/tools/parsers.py:191-202`; inventory in SURVEY.md §2.9):
+
+- 1-D `data` mesh over all local devices (ICI within a slice).
+- Batches sharded on the leading batch axis; params/opt-state replicated.
+- The step function is compiled with `jax.jit` + `NamedSharding` constraints,
+  so XLA inserts the gradient all-reduce over ICI itself (the `psum` the
+  reference gets implicitly from DDP autograd hooks).
+- State buffers are donated: params/opt-state update in place in HBM.
+
+Per-host input sharding (the `DistributedSampler` equivalent) lives in the
+data pipeline; metric reduction uses the same mean over the batch axis, which
+under this sharding is already a cross-device reduction.
+
+Support-frame images ride on axis 1 ((n, b, ...) layout), so `shard_batch`
+shards dim 1 for rank-5 arrays and dim 0 otherwise.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ['make_mesh', 'replicated', 'batch_sharding', 'shard_batch',
+           'make_train_step', 'unreplicate']
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = 'data') -> Mesh:
+    """1-D data-parallel mesh over the first `n_devices` devices."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    import numpy as np
+    return Mesh(np.asarray(devs), (axis,))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def _spec_for(x, axis: str) -> P:
+    """Batch axis spec: rank-5 (n, b, h, w, c) shards dim 1, else dim 0."""
+    ndim = jnp.ndim(x)
+    if ndim >= 5:
+        return P(None, axis)
+    if ndim >= 1:
+        return P(axis)
+    return P()
+
+
+def batch_sharding(mesh: Mesh, batch, axis: str = 'data'):
+    """Per-leaf NamedSharding pytree for an (x, y) batch."""
+    return jax.tree_util.tree_map(
+        lambda v: NamedSharding(mesh, _spec_for(v, axis)), batch)
+
+
+def shard_batch(mesh: Mesh, batch, axis: str = 'data'):
+    """Place a host batch onto the mesh, sharded over the batch axis."""
+    return jax.device_put(batch, batch_sharding(mesh, batch, axis))
+
+
+def unreplicate(tree):
+    """Fetch a replicated pytree to host numpy."""
+    return jax.tree_util.tree_map(lambda v: jax.device_get(v), tree)
+
+
+def make_train_step(trainer, supp_idxs: tuple, tx, mesh: Optional[Mesh] = None,
+                    train: bool = True, axis: str = 'data', donate: bool = True):
+    """Compile the trainer's step function, optionally sharded over `mesh`.
+
+    :param trainer: `core.MonoDepthTrainer`.
+    :param supp_idxs: Static support-frame indices (fixed per dataset).
+    :param tx: optax transformation (ignored when `train=False`).
+    :param mesh: Device mesh; `None` compiles single-device.
+    :return: step(state, x, y, rng) -> (state, scalars) jitted.
+    """
+    step = trainer.make_step_fn(tuple(supp_idxs), tx, train=train)
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,) if (donate and train) else ())
+
+    repl = replicated(mesh)
+
+    def sharded_step(state, x, y, rng):
+        # Constrain inputs: batch over devices, state replicated. XLA derives
+        # the grad all-reduce over ICI from these shardings.
+        x = jax.lax.with_sharding_constraint(x, batch_sharding(mesh, x, axis))
+        y = jax.lax.with_sharding_constraint(y, batch_sharding(mesh, y, axis))
+        new_state, scalars = step(state, x, y, rng)
+        new_state = jax.lax.with_sharding_constraint(
+            new_state, jax.tree_util.tree_map(lambda _: repl, new_state))
+        return new_state, scalars
+
+    return jax.jit(sharded_step, donate_argnums=(0,) if (donate and train) else ())

@@ -1,0 +1,180 @@
+"""Config-dict -> instance parsers (the reference `src/tools/parsers.py` role).
+
+- `get_net` (ref `:36-69`): registered Flax module definitions per cfg key.
+- `get_loss` (ref `:72-106`): loss callables + static weight dict.
+- `get_opt` (ref `:205-241`): an `optax` transformation chain with the
+  reference's `backbone_lr` param-group split (smaller LR on any param whose
+  path contains `encoder`) and `frozen_bn` (zero grads on BatchNorm
+  scale/bias).
+- `get_sched` (ref `:246-269`): steplr + linear-warmup composed into a single
+  `optax` schedule of the *epoch*, converted to steps by `steps_per_epoch`
+  (the reference steps its ChainedScheduler once per epoch).
+
+TPU-first: optimizers are pure optax transforms over the param pytree; "param
+groups" are expressed as `optax.multi_transform` masks over tree paths.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import optax
+
+from . import LOGGER, LOSS_REG, NET_REG, trigger_losses, trigger_networks
+
+__all__ = ['get_net', 'get_loss', 'get_opt', 'get_sched', 'make_optimizer']
+
+
+def _listify(v):
+    return tuple(v) if isinstance(v, list) else v
+
+
+def get_net(cfg: dict) -> dict:
+    """Instantiate network module definitions from the cfg `net` section.
+
+    `~` (None) values delete a component (ref `parsers.py:44-45`).
+    """
+    trigger_networks()
+    nets = {}
+    for k, kw in cfg.items():
+        if kw is None:
+            continue
+        if k not in NET_REG:
+            raise KeyError(f'Unknown network "{k}". ({sorted(NET_REG)})')
+        kw = {key: _listify(v) for key, v in kw.items()}
+        nets[k] = NET_REG[k](**kw)
+        LOGGER.info(f"-> Net: {k} ({kw})")
+    return nets
+
+
+def get_loss(cfg: dict) -> tuple[dict, dict]:
+    """Instantiate losses + static weights from the cfg `loss` section.
+
+    Weights are plain floats (the reference stores them as frozen
+    `nn.Parameter`s purely so they appear in the ckpt, `parsers.py:98-103`).
+    """
+    trigger_losses()
+    losses, weights = {}, {}
+    for k, kw in cfg.items():
+        if kw is None:
+            continue
+        if k not in LOSS_REG:
+            raise KeyError(f'Unknown loss "{k}". ({sorted(LOSS_REG)})')
+        kw = dict(kw)
+        weights[k] = float(kw.pop('weight', 1.0))
+        losses[k] = LOSS_REG[k](**kw)
+        LOGGER.info(f"-> Loss: {k} (weight={weights[k]}, {kw})")
+    return losses, weights
+
+
+# OPTIMIZER / SCHEDULER
+# -----------------------------------------------------------------------------
+_OPTS: dict[str, Callable] = {
+    'adamw': optax.adamw,
+    'adam': optax.adam,
+    'sgd': optax.sgd,
+    'lamb': optax.lamb,
+    'adabelief': optax.adabelief,
+    'rmsprop': optax.rmsprop,
+}
+
+
+def _path_has(path, name: str) -> bool:
+    return any(name in str(getattr(p, 'key', getattr(p, 'name', p))) for p in path)
+
+
+def get_sched(cfg: Optional[dict], lr: float, steps_per_epoch: int) -> Any:
+    """Compose cfg schedulers into one optax schedule over *steps*.
+
+    Supported types (matching the registered torch schedulers the reference
+    cfgs use): `steplr` {step_size, gamma} and `linear` {start_factor,
+    total_iters} — both stepped per epoch and multiplied together, which is
+    exactly what `ChainedScheduler` does (`src/core/trainer.py:85-94`).
+    """
+    if not cfg:
+        return lr
+
+    known = {'steplr', 'linear'}
+    bad = set(k for k, v in cfg.items() if v is not None) - known
+    if bad:
+        raise KeyError(f'Unknown scheduler(s) {sorted(bad)}. ({sorted(known)})')
+
+    step_cfg = cfg.get('steplr')
+    lin_cfg = cfg.get('linear')
+
+    def schedule(step):
+        epoch = step // max(steps_per_epoch, 1)
+        val = lr
+        if step_cfg:
+            val = val * step_cfg.get('gamma', 0.1) ** (epoch // step_cfg['step_size'])
+        if lin_cfg:
+            sf = lin_cfg.get('start_factor', 1. / 3)
+            total = lin_cfg.get('total_iters', 5)
+            factor = jax.numpy.minimum(1.0, sf + (1.0 - sf) * epoch / total)
+            val = val * factor
+        return val
+
+    return schedule
+
+
+def get_opt(cfg: dict, steps_per_epoch: int = 1, sched_cfg: Optional[dict] = None,
+            lr_scale: float = 1.0) -> optax.GradientTransformation:
+    """Build the optax optimizer chain from the cfg `optimizer` section.
+
+    :param cfg: {type, lr, weight_decay, backbone_lr?, frozen_bn?, ...}.
+    :param steps_per_epoch: For converting per-epoch schedules to steps.
+    :param sched_cfg: Optional cfg `scheduler` section.
+    :param lr_scale: DP LR scaling (devices x accumulation, ref
+        `api/train/train.py:125-128`).
+    """
+    cfg = dict(cfg)
+    name = cfg.pop('type', cfg.pop('opt', None))
+    if name is None:
+        raise KeyError('Must provide an optimizer `type`.')
+    if name not in _OPTS:
+        raise KeyError(f'Unknown optimizer "{name}". ({sorted(_OPTS)})')
+
+    lr = float(cfg.pop('lr', 1e-3)) * lr_scale
+    blr = cfg.pop('backbone_lr', None)
+    frozen_bn = cfg.pop('frozen_bn', False)
+
+    def make(lr_val):
+        sched = get_sched(sched_cfg, lr_val, steps_per_epoch)
+        return _OPTS[name](learning_rate=sched, **cfg)
+
+    if blr:
+        blr = float(blr) * lr_scale
+        if blr == lr:
+            raise ValueError('Backbone LR must be different from the main LR')
+        LOGGER.info(f'Setting backbone LR to {blr} with base LR {lr}...')
+        tx = optax.multi_transform(
+            {'backbone': make(blr), 'main': make(lr)},
+            lambda params: jax.tree_util.tree_map_with_path(
+                lambda path, _: 'backbone' if _path_has(path, 'encoder') else 'main', params),
+        )
+    else:
+        tx = make(lr)
+
+    if frozen_bn:
+        # Zero out grads on BatchNorm affine params (ref `parsers.py:225-231`).
+        def is_bn(path, _):
+            return 'frozen' if _path_has(path, 'bn') or _path_has(path, 'BatchNorm') else 'free'
+        tx = optax.chain(
+            optax.multi_transform(
+                {'frozen': optax.set_to_zero(), 'free': optax.identity()},
+                lambda params: jax.tree_util.tree_map_with_path(is_bn, params)),
+            tx,
+        )
+    return tx
+
+
+def make_optimizer(cfg: dict, steps_per_epoch: int = 1, lr_scale: float = 1.0,
+                   grad_clip: Optional[float] = None,
+                   accumulate: int = 1) -> optax.GradientTransformation:
+    """Full training transformation: clip -> optimizer -> grad accumulation."""
+    tx = get_opt(cfg.get('optimizer', {}), steps_per_epoch, cfg.get('scheduler'), lr_scale)
+    if grad_clip:
+        tx = optax.chain(optax.clip_by_global_norm(grad_clip), tx)
+    if accumulate and accumulate > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=int(accumulate))
+    return tx
