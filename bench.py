@@ -1,0 +1,92 @@
+"""Benchmark: steady-state training throughput of the flagship KBR step.
+
+Measures imgs/sec of the full jitted train step — ConvNeXt-Base depth net +
+ConvNeXt-Tiny pose net with learned intrinsics, min-reprojection/automask +
+edge-aware smoothness losses, AdamW with backbone-LR split — at the KBR
+training resolution (batch 4 @ 384x640, ref `cfg/kbr/default.yaml`), on
+whatever accelerator JAX exposes (the driver runs this on one real TPU chip).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+`vs_baseline` compares against an A100 PyTorch estimate for the same step
+(the reference publishes no throughput numbers — SURVEY.md §6; the estimate
+below is ConvNeXt-B fwd+bwd + pose + warp losses at 384x640 on A100 with
+PyTorch 2.0, ~30 imgs/s). Target per BASELINE.json: >2x.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+A100_PYTORCH_IMGS_PER_SEC_ESTIMATE = 30.0
+
+B, H, W = 4, 384, 640
+WARMUP, ITERS = 3, 10
+
+
+def main():
+    from slowtv_monodepth_tpu import parsers
+    from slowtv_monodepth_tpu.core import MonoDepthTrainer
+    from slowtv_monodepth_tpu.parallel import make_mesh, make_train_step, shard_batch
+
+    cfg = {
+        'net': {
+            'depth': {'enc_name': 'convnext_base', 'pretrained': False,
+                      'dec_name': 'monodepth', 'out_scales': (0, 1, 2, 3)},
+            'pose': {'enc_name': 'convnext_tiny', 'pretrained': False, 'learn_K': True},
+        },
+        'loss': {
+            'img_recon': {'weight': 1, 'use_min': True, 'use_automask': True},
+            'disp_smooth': {'weight': 0.001, 'use_edges': True},
+        },
+        'optimizer': {'type': 'adamw', 'lr': 1e-4, 'weight_decay': 1e-3,
+                      'backbone_lr': 1e-5},
+        'trainer': {'min_depth': 0.1, 'max_depth': 100, 'always_fwd_pose': False},
+    }
+    supp_idxs = (-1, 1)
+
+    key = jax.random.PRNGKey(0)
+    imgs = jax.random.uniform(key, (B, H, W, 3))
+    supp = jnp.stack([jnp.roll(imgs, 2, axis=2), jnp.roll(imgs, -2, axis=2)])
+    K = jnp.broadcast_to(jnp.array(
+        [[0.58 * W, 0, 0.5 * W, 0], [0, 1.92 * H, 0.5 * H, 0],
+         [0, 0, 1, 0], [0, 0, 0, 1.0]]), (B, 4, 4))
+    x = {'imgs': imgs, 'supp_imgs': supp}
+    y = {'imgs': imgs, 'supp_imgs': supp, 'K': K}
+
+    trainer = MonoDepthTrainer(cfg)
+    tx = parsers.make_optimizer(cfg, steps_per_epoch=1000)
+    state = trainer.init_state(jax.random.PRNGKey(1), x, supp_idxs, tx)
+
+    n_dev = len(jax.devices())
+    mesh = make_mesh(n_dev) if n_dev > 1 else None
+    if mesh is not None:
+        x, y = shard_batch(mesh, (x, y))
+    step = make_train_step(trainer, supp_idxs, tx, mesh=mesh, donate=True)
+
+    rngs = [jax.random.PRNGKey(100 + i) for i in range(WARMUP + ITERS)]
+    for i in range(WARMUP):
+        state, scalars = step(state, x, y, rngs[i])
+    jax.block_until_ready(scalars['loss'])
+
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        state, scalars = step(state, x, y, rngs[WARMUP + i])
+    jax.block_until_ready(scalars['loss'])
+    dt = time.perf_counter() - t0
+
+    imgs_per_sec = B * ITERS / dt
+    per_chip = imgs_per_sec / max(n_dev, 1)
+    print(json.dumps({
+        'metric': 'kbr_train_imgs_per_sec_per_chip',
+        'value': round(per_chip, 3),
+        'unit': 'imgs/sec/chip',
+        'vs_baseline': round(per_chip / A100_PYTORCH_IMGS_PER_SEC_ESTIMATE, 3),
+    }))
+
+
+if __name__ == '__main__':
+    main()

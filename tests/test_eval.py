@@ -1,0 +1,165 @@
+"""Evaluator + offline metric tests with hand-computed golden values."""
+import numpy as np
+import pytest
+
+from slowtv_monodepth_tpu.eval import (
+    MonoDepthEvaluator, metrics_benchmark, metrics_eigen, metrics_pointcloud,
+)
+from slowtv_monodepth_tpu.tools import TableFormatter, rgb_from_disp, rgb_from_feat
+
+
+class TestMetricFns:
+    def test_eigen_golden(self):
+        pred = np.array([1.0, 2.0, 4.0])
+        target = np.array([2.0, 2.0, 2.0])
+        m = metrics_eigen(pred, target)
+        assert m['AbsRel'] == pytest.approx((0.5 + 0 + 1.0) / 3)
+        # Legacy-incorrect SqRel: err^2 / target (not target^2).
+        assert m['SqRel'] == pytest.approx((1 / 2 + 0 + 4 / 2) / 3)
+        assert m['RMSE'] == pytest.approx(np.sqrt((1 + 0 + 4) / 3))
+        # thresh = max(t/p, p/t) = [2, 1, 2].
+        assert m['$\\delta_{.25}$'] == pytest.approx(100 / 3)
+
+    def test_benchmark_units(self):
+        pred = np.array([2.0])
+        target = np.array([4.0])
+        m = metrics_benchmark(pred, target)
+        assert m['MAE'] == pytest.approx(2.0)
+        assert m['InvMAE'] == pytest.approx(1000 * abs(1 / 2 - 1 / 4))
+        assert m['AbsRel'] == pytest.approx(100 * 2 / 4)
+        assert m['LogMAE'] == pytest.approx(100 * np.log(2))
+
+    def test_benchmark_logsi_scale_invariance(self):
+        rng = np.random.default_rng(0)
+        target = 1 + 10 * rng.random(100)
+        # Constant scale error + small jitter (exact-zero variance -> nan in
+        # the reference too, since sqrt sees a tiny negative float).
+        pred = target * 2.0 * (1 + 1e-3 * rng.standard_normal(100))
+        m = metrics_benchmark(pred, target)
+        assert m['LogSI'] < 0.5
+        assert m['LogMAE'] > 50  # ~100*log(2).
+
+    def test_pointcloud_perfect(self):
+        d = 5 + np.zeros((8, 12), np.float32)
+        K = np.eye(4)
+        K[0, 0] = K[1, 1] = 10
+        K[0, 2], K[1, 2] = 6, 4
+        m = metrics_pointcloud(d, d, np.ones_like(d, bool), K)
+        assert m['Chamfer'] == pytest.approx(0.0, abs=1e-5)
+        assert m['F-Score (10)'] == pytest.approx(100, abs=0.1)
+
+
+class TestAlignment:
+    def test_median(self):
+        ev = MonoDepthEvaluator(metrics=('benchmark',), align_mode='median', max=100)
+        pred = np.array([1.0, 2.0, 3.0])
+        target = np.array([10.0, 20.0, 30.0])
+        a, b = ev.align(pred, target)
+        assert (a, b) == (10.0, 0.0)
+
+    def test_lsqr_recovers_affine_disparity(self):
+        """LSQR runs in disparity space and recovers a known (scale, shift)."""
+        ev = MonoDepthEvaluator(metrics=('benchmark',), align_mode='lsqr', max=100)
+        rng = np.random.default_rng(1)
+        disp_pred = 0.1 + rng.random(200)
+        disp_gt = 2.5 * disp_pred + 0.3
+        a, b = ev.align(1 / disp_pred, 1 / disp_gt, inv=True)
+        assert a == pytest.approx(2.5, rel=1e-5)
+        assert b == pytest.approx(0.3, rel=1e-4)
+
+    def test_lsqr_singular_guard(self):
+        ev = MonoDepthEvaluator(align_mode='lsqr')
+        a, b = ev._align_lsqr(np.zeros(10), np.ones(10))
+        assert (a, b) == (0, 0)
+
+    def test_metric_factor(self):
+        ev = MonoDepthEvaluator(align_mode=5.4)
+        assert ev.align(np.ones(3), np.ones(3)) == (5.4, 0.0)
+
+
+class TestEvaluator:
+    def _data(self, n=3, h=16, w=24, seed=0):
+        rng = np.random.default_rng(seed)
+        depth = 1 + 40 * rng.random((n, h, w)).astype(np.float32)
+        K = np.tile(np.array([[20, 0, w / 2, 0], [0, 20, h / 2, 0],
+                              [0, 0, 1, 0], [0, 0, 0, 1]], np.float32), (n, 1, 1))
+        return depth, K
+
+    def test_perfect_prediction(self):
+        depth, K = self._data()
+        preds = 1 / depth  # Scaleless disparity = exact inverse depth.
+        ev = MonoDepthEvaluator(metrics=('eigen', 'benchmark'), align_mode='median',
+                                min=1e-3, max=100)
+        mean, items = ev.run(preds, {'depth': depth}, nproc=0)
+        assert mean['AbsRel'] == pytest.approx(0.0, abs=1e-4)
+        assert len(items) == 3
+
+    def test_scaled_prediction_aligns(self):
+        """A global x7 disparity scale is removed by median alignment."""
+        depth, K = self._data()
+        preds = 7.0 / depth
+        ev = MonoDepthEvaluator(metrics=('benchmark',), align_mode='median',
+                                min=1e-3, max=100)
+        mean, _ = ev.run(preds, {'depth': depth}, nproc=0)
+        assert mean['AbsRel'] == pytest.approx(0.0, abs=1e-3)
+        # Median alignment runs in depth space: pred depth = target/7 -> x7.
+        assert mean['Scale'] == pytest.approx(7.0, rel=1e-3)
+
+    def test_downsampled_pred_upsamples(self):
+        depth, K = self._data()
+        preds = (1 / depth)[:, ::2, ::2]
+        ev = MonoDepthEvaluator(metrics=('benchmark',), align_mode='median', max=100)
+        mean, _ = ev.run(preds, {'depth': depth}, nproc=0)
+        assert np.isfinite(mean['AbsRel'])
+
+    def test_eigen_crop_ratios(self):
+        mask = MonoDepthEvaluator._get_eigen_mask((100, 100))
+        ys, xs = np.nonzero(mask)
+        assert ys.min() == 40 and ys.max() == 98
+        assert xs.min() == 3 and xs.max() == 95
+
+    def test_pointcloud_requires_K(self):
+        depth, K = self._data()
+        ev = MonoDepthEvaluator(metrics=('pointcloud',), align_mode='median')
+        with pytest.raises(ValueError, match='intrinsics'):
+            ev.run(1 / depth, {'depth': depth}, nproc=0)
+
+    def test_cats_and_average(self):
+        depth, K = self._data()
+        ev = MonoDepthEvaluator(metrics=('benchmark',), align_mode='median', max=100)
+        mean, items = ev.run(1 / depth, {
+            'depth': depth,
+            'cat': np.array(['a', 'b', 'a']),
+            'subcat': np.array(['x', 'y', 'z']),
+        }, nproc=0)
+        assert all('Cat' in m for m in items)
+        assert isinstance(mean['AbsRel'], float)
+
+
+class TestTableFormatter:
+    def test_from_dict_latex_markdown(self):
+        t = TableFormatter.from_dict({'AbsRel': 10.123, 'F': 50.5}, metrics=-1)
+        tex = t.to_latex(precision=2)
+        md = t.to_markdown(precision=2)
+        assert '10.12' in tex and '\\toprule' in tex
+        assert '| 10.12 |' in md
+
+    def test_best_highlighting(self):
+        t = TableFormatter(header=['m1', 'm2'], labels=['a', 'b'],
+                           body=[[1.0, 5.0], [2.0, 3.0]], metrics=[-1, 1])
+        tex = t.to_latex(precision=1)
+        assert '\\best{1.0}' in tex  # Lower better on m1.
+        assert '\\best{5.0}' in tex  # Higher better on m2.
+
+
+class TestViz:
+    def test_rgb_from_disp_shapes(self):
+        rgb = rgb_from_disp(np.random.rand(4, 8, 6))
+        assert rgb.shape == (4, 8, 6, 3)
+        assert rgb.min() >= 0 and rgb.max() <= 1
+        assert rgb_from_disp(np.random.rand(8, 6)).shape == (8, 6, 3)
+
+    def test_rgb_from_feat(self):
+        rgb = rgb_from_feat(np.random.rand(2, 8, 6, 16).astype(np.float32))
+        assert rgb.shape == (2, 8, 6, 3)
+        assert rgb.min() >= 0 and rgb.max() <= 1
