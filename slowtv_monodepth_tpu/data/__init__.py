@@ -1,0 +1,17 @@
+from .augment import ColorJiggle
+from .base import BaseDataset, collate_items
+from .base_mde import IMAGENET_MEAN, IMAGENET_STD, MdeBaseDataset, SuppImageNotFoundError
+from .loader import ConcatDataLoader, DataLoader, ShardedSampler
+
+# Concrete datasets (populate DATA_REG via @register).
+from .kitti_raw import KittiRawDataset
+from .mannequin import MannequinDataset
+from .slow_tv import SlowTvDataset
+from .syns_patches import SynsPatchesDataset
+
+__all__ = [
+    'ColorJiggle', 'BaseDataset', 'collate_items',
+    'IMAGENET_MEAN', 'IMAGENET_STD', 'MdeBaseDataset', 'SuppImageNotFoundError',
+    'ConcatDataLoader', 'DataLoader', 'ShardedSampler',
+    'KittiRawDataset', 'MannequinDataset', 'SlowTvDataset', 'SynsPatchesDataset',
+]

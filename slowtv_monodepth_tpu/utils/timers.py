@@ -108,6 +108,15 @@ class MultiLevelTimer:
             out[k] = round(sum(vals) / len(vals), self.precision)
         return out
 
+    def copy(self) -> 'MultiLevelTimer':
+        """Snapshot of accumulated stats (e.g. to attach to batch metadata
+        before `reset`, ref `src/datasets/base.py:253-268`)."""
+        t = MultiLevelTimer(name=self.name, as_ms=self.as_ms,
+                            precision=self.precision, sync_fn=self.sync_fn)
+        t._totals = OrderedDict(self._totals)
+        t._counts = OrderedDict(self._counts)
+        return t
+
     def reset(self) -> None:
         self._stack.clear()
         self._totals.clear()
