@@ -1,0 +1,269 @@
+"""Training loop runner: the thin imperative shell around the pure train step.
+
+Replaces the reference's PyTorch-Lightning `Trainer` + callback zoo
+(`api/train/train.py:58-129`) with an explicit loop:
+
+- epoch iteration over the (multi-dataset round-robin) host loader,
+- on-device batch placement (sharded over the mesh when given),
+- KBR aspect-ratio augmentation applied per batch (host samples the bucketed
+  shape, device resamples; one XLA compile per shape bucket, then cached),
+- scalar logging every `log_every_n_steps` (host sync only at log steps),
+- non-finite-loss detection at sync points (`DetectAnomaly`,
+  ref `src/utils/callbacks.py:27-31`),
+- best/last orbax checkpoints + resume (`resume_training`),
+- `TrainingManager` marker files (training_<epoch>_<host> / finished,
+  ref `callbacks.py:34-87`) so runs can't double-start and eval scripts can
+  trust completed checkpoints,
+- DP LR scaling by mesh size x grad accumulation (`auto_scale_lr`,
+  ref `api/train/train.py:125-128`).
+"""
+from __future__ import annotations
+
+import math
+import signal
+import socket
+from functools import partial
+from pathlib import Path
+from typing import Optional
+
+import jax
+import numpy as np
+
+from .. import LOGGER, parsers
+from ..parallel import make_train_step, shard_batch
+from ..utils import MultiLevelTimer, flatten_dict
+from .aspect_ratio import aspect_ratio_aug
+from .checkpoint import CheckpointManager, get_latest_ckpt, load_checkpoint
+from .trainer import MonoDepthTrainer
+
+__all__ = ['MonoDepthLoop', 'TrainingManager']
+
+
+class TrainingManager:
+    """Run marker files + SIGTERM cleanup (ref `src/utils/callbacks.py:34-87`)."""
+
+    def __init__(self, ckpt_dir):
+        self.ckpt_dir = Path(ckpt_dir)
+        self.ckpt_dir.mkdir(exist_ok=True, parents=True)
+        self.host = socket.gethostname()
+        self.ftrain: Optional[Path] = None
+        self.fend = self.ckpt_dir / 'finished'
+
+        existing = sorted(self.ckpt_dir.glob('training*'))
+        if existing:
+            raise ValueError(f'Training already in progress! ({existing[0]})')
+        if self.fend.is_file():
+            raise ValueError(f'Training already finished! ({self.fend})')
+        signal.signal(signal.SIGTERM, self._on_sigterm)
+
+    def on_epoch_start(self, epoch: int) -> None:
+        if self.ftrain:
+            self.ftrain.unlink(missing_ok=True)
+        self.ftrain = self.ckpt_dir / f'training_{epoch}_{self.host}'
+        self.ftrain.touch()
+
+    def on_fit_end(self) -> None:
+        self.cleanup()
+        self.fend.touch()
+
+    def cleanup(self) -> None:
+        if self.ftrain:
+            self.ftrain.unlink(missing_ok=True)
+
+    def _on_sigterm(self, signum, frame) -> None:
+        raise SystemExit
+
+
+class MonoDepthLoop:
+    """:param cfg: Full merged YAML cfg (net/loss/dataset/loader/optimizer/
+        scheduler/trainer sections).
+    :param ckpt_dir: Run directory for checkpoints + markers.
+    :param mesh: Optional device mesh for data parallelism.
+    :param writer: Optional scalar logger with `.add_scalar(tag, val, step)`.
+    :param shard_id/num_shards: Host shard for multi-host input pipelines.
+    """
+
+    def __init__(self, cfg: dict, ckpt_dir, mesh=None, writer=None,
+                 shard_id: int = 0, num_shards: int = 1,
+                 use_markers: bool = True):
+        self.cfg = cfg
+        self.ckpt_dir = Path(ckpt_dir)
+        self.mesh = mesh
+        self.writer = writer
+        self.shard_id, self.num_shards = shard_id, num_shards
+
+        tcfg = cfg.get('trainer', {})
+        self.max_epochs = tcfg.get('max_epochs', 60)
+        self.log_every_n = tcfg.get('log_every_n_steps', 100)
+        self.limit_val_batches = tcfg.get('limit_val_batches', 200)
+        self.monitor = tcfg.get('monitor', 'AbsRel')
+        self.grad_clip = tcfg.get('gradient_clip_val')
+        self.accumulate = tcfg.get('accumulate_grad_batches', 1) or 1
+
+        self.ar_aug = partial(
+            aspect_ratio_aug,
+            p=tcfg.get('aspect_ratio_aug_prob', 0.0),
+            crop_min=tcfg.get('aspect_ratio_min', 0.5),
+            crop_max=tcfg.get('aspect_ratio_max', 1.0),
+            ref_shape=tcfg.get('aspect_ratio_ref_shape'),
+        )
+
+        self.trainer = MonoDepthTrainer(cfg)
+
+        self.train_dl = parsers.get_dl('train', cfg['dataset'], cfg['loader'],
+                                       shard_id=shard_id, num_shards=num_shards)
+        try:
+            self.val_dl = parsers.get_dl('val', cfg['dataset'], cfg['loader'],
+                                         shard_id=shard_id, num_shards=num_shards)
+        except (FileNotFoundError, ValueError):
+            self.val_dl = None
+        LOGGER.info(f'-> Train dataloader: {len(self.train_dl)}')
+
+        n_dev = mesh.devices.size if mesh is not None else 1
+        lr_scale = (n_dev * self.accumulate) if tcfg.get('auto_scale_lr') else 1.0
+        steps_per_epoch = max(len(self.train_dl) // self.accumulate, 1)
+        self.tx = parsers.make_optimizer(
+            cfg, steps_per_epoch=steps_per_epoch, lr_scale=lr_scale,
+            grad_clip=self.grad_clip, accumulate=self.accumulate)
+
+        self.ckpt = CheckpointManager(self.ckpt_dir, monitor=self.monitor)
+        self.manager = TrainingManager(self.ckpt_dir) if use_markers else None
+
+        self._steps: dict = {}  # (supp_idxs, train) -> jitted step fn.
+        self.state = None
+        self.start_epoch = 0
+        self.global_step = 0
+        self.timer = MultiLevelTimer(name='Loop', as_ms=True)
+
+    # ------------------------------------------------------------------ setup
+    def _step_fn(self, supp_idxs: tuple, train: bool):
+        key = (tuple(supp_idxs), train)
+        if key not in self._steps:
+            self._steps[key] = make_train_step(
+                self.trainer, tuple(supp_idxs), self.tx, mesh=self.mesh,
+                train=train, donate=False)
+        return self._steps[key]
+
+    def _init_state(self, batch) -> None:
+        x, _, m = batch
+        supp_idxs = tuple(int(i) for i in x.get('supp_idxs', ()))
+        xd = {'imgs': jax.numpy.asarray(x['imgs'][:1])}
+        rng = jax.random.PRNGKey(self.cfg.get('seed', 42))
+        self.state = self.trainer.init_state(rng, xd, supp_idxs, self.tx)
+
+        if load := self.cfg.get('trainer', {}).get('load_ckpt'):
+            LOGGER.info(f'Warm-starting from {load}...')
+            self.state, _ = load_checkpoint(load, self.state)
+            self.state = self.state.replace(step=jax.numpy.asarray(0, jax.numpy.int32))
+
+        if self.cfg.get('trainer', {}).get('resume_training', True):
+            if last := get_latest_ckpt(self.ckpt_dir):
+                self.state, meta = load_checkpoint(last, self.state)
+                self.start_epoch = int(meta.get('epoch', -1)) + 1
+                self.global_step = int(meta.get('step', 0))
+                self.ckpt.restore_best_value()
+                LOGGER.info(f'Resumed from {last} @ epoch {self.start_epoch}')
+
+    def _place(self, x: dict, y: dict):
+        """Host numpy batch -> device (sharded over the mesh when present)."""
+        x = {k: v for k, v in x.items() if k != 'supp_idxs'}
+        if self.mesh is not None:
+            return shard_batch(self.mesh, (x, y))
+        return jax.device_put((x, y))
+
+    # ------------------------------------------------------------------- fit
+    def fit(self) -> None:
+        try:
+            if self.state is None:
+                # Initialize (and maybe resume) from the first batch's shapes
+                # before the epoch loop so `start_epoch` is honored.
+                self._init_state(next(iter(self.train_dl)))
+            for epoch in range(self.start_epoch, self.max_epochs):
+                if self.manager:
+                    self.manager.on_epoch_start(epoch)
+                self.train_epoch(epoch)
+                metrics = self.val_epoch(epoch) if self.val_dl else {}
+                self.ckpt.step(self.state, self.cfg, epoch, metrics)
+            if self.manager:
+                self.manager.on_fit_end()
+        except BaseException:
+            if self.manager:
+                self.manager.cleanup()
+            raise
+
+    # ----------------------------------------------------------------- epochs
+    def train_epoch(self, epoch: int) -> None:
+        self.train_dl.set_epoch(epoch)
+        rng = np.random.default_rng()
+        last_scalars = None
+
+        for i, (x, y, m) in enumerate(self.train_dl):
+            if self.state is None:
+                self._init_state((x, y, m))
+
+            supp_idxs = tuple(int(v) for v in x.get('supp_idxs', ()))
+            xb, yb = self._place(x, y)
+            batch = self.ar_aug((xb, yb, m))
+            xb, yb, m = batch
+
+            step = self._step_fn(supp_idxs, train=True)
+            key = jax.random.PRNGKey(int(rng.integers(2 ** 31)))
+            self.state, scalars = step(self.state, xb, yb, key)
+            last_scalars = scalars
+            self.global_step += 1
+
+            if self.global_step % self.log_every_n == 0:
+                self._log('train', scalars, m)
+
+        # Epoch-end anomaly check (sync point; per-step checks would stall TPU).
+        if last_scalars is not None:
+            loss = float(last_scalars['loss'])
+            if not math.isfinite(loss):
+                raise ValueError(f'Detected NaN/Infinite loss: "{loss}"')
+
+    def val_epoch(self, epoch: int) -> dict:
+        if self.val_dl is None or self.state is None:
+            return {}
+        self.val_dl.set_epoch(epoch)
+        acc: dict = {}
+        n = 0
+        for i, (x, y, m) in enumerate(self.val_dl):
+            if i >= self.limit_val_batches:
+                break
+            supp_idxs = tuple(int(v) for v in x.get('supp_idxs', ()))
+            xb, yb = self._place(x, y)
+            step = self._step_fn(supp_idxs, train=False)
+            _, scalars = step(self.state, xb, yb, jax.random.PRNGKey(epoch))
+            for k, v in scalars.items():
+                acc[k] = acc.get(k, 0.0) + float(v)
+            n += 1
+        metrics = {k: v / max(n, 1) for k, v in acc.items()}
+        if metrics:
+            self._log_dict('val', metrics)
+            LOGGER.info(f"Epoch {epoch}: val loss={metrics.get('loss'):.4f} "
+                        + ' '.join(f'{k}={v:.3f}' for k, v in metrics.items()
+                                   if k in ('AbsRel', 'MAE', 'RMSE')))
+        return metrics
+
+    # ---------------------------------------------------------------- logging
+    def _log(self, mode: str, scalars: dict, m: dict) -> None:
+        vals = {k: float(v) for k, v in scalars.items()}
+        loss = vals.get('loss', float('nan'))
+        if not math.isfinite(loss):
+            raise ValueError(f'Detected NaN/Infinite loss: "{loss}"')
+        out = {f'{mode}_losses/{k.replace("loss_", "")}' if k.startswith('loss') else
+               f'{mode}_monitor/{k}': v for k, v in vals.items()}
+        if 'timer_data' in m and m['timer_data']:
+            t0 = m['timer_data'][0]
+            out.update({f'{mode}_timer/Data/{k}': v
+                        for k, v in t0.mean_elapsed(m['timer_data']).items()})
+        self._log_dict(mode, out, raw=True)
+        LOGGER.info(f'step {self.global_step}: loss={loss:.4f}')
+
+    def _log_dict(self, mode: str, metrics: dict, raw: bool = False) -> None:
+        if self.writer is None:
+            return
+        items = metrics if raw else flatten_dict({f'{mode}_metrics': metrics})
+        for k, v in items.items():
+            if isinstance(v, (int, float)) and math.isfinite(v):
+                self.writer.add_scalar(k, v, self.global_step)

@@ -30,10 +30,22 @@ __all__ = ['make_mesh', 'replicated', 'batch_sharding', 'shard_batch',
            'make_train_step', 'unreplicate']
 
 
-def make_mesh(n_devices: Optional[int] = None, axis: str = 'data') -> Mesh:
-    """1-D data-parallel mesh over the first `n_devices` devices."""
-    devs = jax.devices()
+def make_mesh(n_devices: Optional[int] = None, axis: str = 'data',
+              platform: Optional[str] = None) -> Mesh:
+    """1-D data-parallel mesh over the first `n_devices` devices.
+
+    :param platform: Backend to take devices from ('cpu', 'tpu', None=default).
+        When the default backend has fewer than `n_devices`, falls back to the
+        host CPU devices (the `--xla_force_host_platform_device_count` pool) —
+        the standard recipe for validating shardings without real chips.
+    """
+    devs = jax.devices(platform)
+    if n_devices is not None and len(devs) < n_devices and platform is None:
+        devs = jax.devices('cpu')
     if n_devices is not None:
+        if len(devs) < n_devices:
+            raise ValueError(f'Need {n_devices} devices, have {len(devs)} '
+                             f'({devs[0].platform}).')
         devs = devs[:n_devices]
     import numpy as np
     return Mesh(np.asarray(devs), (axis,))

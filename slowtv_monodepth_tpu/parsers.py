@@ -20,9 +20,11 @@ from typing import Any, Callable, Optional
 import jax
 import optax
 
-from . import LOGGER, LOSS_REG, NET_REG, trigger_losses, trigger_networks
+from . import (DATA_REG, LOGGER, LOSS_REG, NET_REG, trigger_datasets,
+               trigger_losses, trigger_networks)
 
-__all__ = ['get_net', 'get_loss', 'get_opt', 'get_sched', 'make_optimizer']
+__all__ = ['get_net', 'get_loss', 'get_ds', 'get_dl', 'get_opt', 'get_sched',
+           'make_optimizer']
 
 
 def _listify(v):
@@ -65,6 +67,56 @@ def get_loss(cfg: dict) -> tuple[dict, dict]:
         losses[k] = LOSS_REG[k](**kw)
         LOGGER.info(f"-> Loss: {k} (weight={weights[k]}, {kw})")
     return losses, weights
+
+
+# DATASETS / LOADERS
+# -----------------------------------------------------------------------------
+_MODES = {'train', 'val', 'test'}
+
+
+def get_ds(cfg: dict, mode: Optional[str] = None) -> dict:
+    """Instantiate datasets from the cfg `dataset` section with per-mode
+    overrides merged in (ref `parsers.py:109-151`)."""
+    trigger_datasets()
+    ds = {}
+    for t, kw in cfg.items():
+        if kw is None:
+            continue
+        if not isinstance(kw, dict):
+            raise TypeError(f"Expected dict of dicts. Got '{kw}'.")
+        if t not in DATA_REG:
+            raise KeyError(f'Unknown dataset "{t}". ({sorted(DATA_REG)})')
+        c = {k: v for k, v in kw.items() if k not in _MODES}
+        if mode:
+            c.update(kw.get(mode, {}))
+        ds[t] = DATA_REG[t](**c)
+    return ds
+
+
+def get_dl(mode: str, cfg_ds: dict, cfg_dl: dict,
+           shard_id: int = 0, num_shards: int = 1):
+    """Build the (multi-)dataset loader for a mode (ref `parsers.py:154-202`).
+
+    Multi-dataset configs interleave via `ConcatDataLoader` (single-dataset
+    batches — shapes differ per dataset). Host sharding replaces the
+    reference's `DistributedSampler` plumbing, with the same per-dataset seed
+    offsets (`seed * 10**i`, ref `:191-199`).
+    """
+    from .data import ConcatDataLoader, DataLoader
+    datasets = list(get_ds(cfg_ds, mode).values())
+    if not datasets:
+        raise ValueError('No datasets configured.')
+
+    cfg = {k: v for k, v in cfg_dl.items() if k not in _MODES} | (cfg_dl.get(mode) or {})
+    cfg.pop('pin_memory', None)  # torch-ism kept for cfg compatibility.
+    cfg.pop('use_ddp', None)     # Host sharding is always explicit here.
+    seed = cfg.pop('seed', 42)
+
+    dls = [
+        DataLoader(d, seed=seed * 10 ** i, shard_id=shard_id, num_shards=num_shards, **cfg)
+        for i, d in enumerate(datasets)
+    ]
+    return dls[0] if len(dls) == 1 else ConcatDataLoader(dls)
 
 
 # OPTIMIZER / SCHEDULER

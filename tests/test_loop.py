@@ -1,0 +1,131 @@
+"""End-to-end training loop: synthetic SlowTV-style data -> fit -> ckpt -> resume."""
+import numpy as np
+import pytest
+from PIL import Image
+
+from slowtv_monodepth_tpu import paths
+from slowtv_monodepth_tpu.core import MonoDepthLoop, load_checkpoint
+from slowtv_monodepth_tpu.core.checkpoint import save_checkpoint
+
+
+@pytest.fixture
+def slowtv_root(tmp_path):
+    root = tmp_path / 'slow_tv'
+    seq = '00001'
+    for stem in range(12):
+        p = root / seq / f'{stem:010}.png'
+        p.parent.mkdir(parents=True, exist_ok=True)
+        Image.fromarray(np.random.default_rng(stem).integers(
+            0, 255, (48, 64, 3), dtype=np.uint8)).save(p)
+    np.savetxt(root / seq / 'intrinsics.txt',
+               np.array([[600, 0, 640, 0], [0, 600, 360, 0],
+                         [0, 0, 1, 0], [0, 0, 0, 1.0]]))
+    (root / 'splits' / 'all').mkdir(parents=True)
+    (root / 'splits' / 'all' / 'train_files.txt').write_text(
+        '\n'.join(f'{seq} {i}' for i in range(2, 6)))
+    (root / 'splits' / 'all' / 'val_files.txt').write_text(
+        '\n'.join(f'{seq} {i}' for i in range(6, 8)))
+    (root / 'splits' / 'categories.txt').write_text('natural-hiking\n')
+    paths.DATA_PATHS['slow_tv'] = root
+    yield root
+    paths.DATA_PATHS.pop('slow_tv', None)
+
+
+def make_cfg():
+    return {
+        'net': {
+            'depth': {'enc_name': 'resnet18', 'pretrained': False,
+                      'dec_name': 'monodepth', 'out_scales': [0, 1]},
+            'pose': {'enc_name': 'resnet18', 'pretrained': False, 'learn_K': True},
+        },
+        'loss': {
+            'img_recon': {'weight': 1, 'use_min': True, 'use_automask': True},
+            'disp_smooth': {'weight': 0.001, 'use_edges': True},
+        },
+        'dataset': {
+            'slow_tv': {
+                'split': 'all', 'datum': 'image support K', 'supp_idxs': [-1, 1],
+                'train': {'mode': 'train', 'use_aug': True, 'shape': [32, 64]},
+                'val': {'mode': 'val', 'use_aug': False, 'shape': [32, 64]},
+            },
+        },
+        'loader': {'batch_size': 2, 'drop_last': True, 'num_workers': 0,
+                   'train': {'shuffle': True}, 'val': {'shuffle': False}},
+        'optimizer': {'type': 'adamw', 'lr': 1e-4, 'weight_decay': 1e-3},
+        'scheduler': {'linear': {'start_factor': 0.5, 'total_iters': 2}},
+        'trainer': {'max_epochs': 2, 'min_depth': 0.1, 'max_depth': 100,
+                    'always_fwd_pose': False, 'monitor': 'loss',
+                    'log_every_n_steps': 1, 'accumulate_grad_batches': 1},
+    }
+
+
+class _Writer:
+    def __init__(self):
+        self.logged = []
+
+    def add_scalar(self, tag, val, step):
+        self.logged.append((tag, val, step))
+
+
+class TestLoop:
+    def test_fit_checkpoints_and_markers(self, slowtv_root, tmp_path):
+        ckpt_dir = tmp_path / 'run'
+        writer = _Writer()
+        loop = MonoDepthLoop(make_cfg(), ckpt_dir, writer=writer)
+        loop.fit()
+
+        assert (ckpt_dir / 'last').is_dir()
+        assert (ckpt_dir / 'best').is_dir()
+        assert (ckpt_dir / 'finished').is_file()
+        assert not list(ckpt_dir.glob('training_*'))
+        assert any(t.startswith('train_losses/') for t, _, _ in writer.logged)
+        assert any(t.startswith('val_') for t, _, _ in writer.logged)
+
+        state, meta = load_checkpoint(ckpt_dir / 'last')
+        assert meta['epoch'] == 1
+        assert meta['cfg']['net']['depth']['enc_name'] == 'resnet18'
+        assert int(state.step) == 4  # 2 epochs x 2 steps.
+
+    def test_refuses_double_run(self, slowtv_root, tmp_path):
+        ckpt_dir = tmp_path / 'run'
+        ckpt_dir.mkdir()
+        (ckpt_dir / 'finished').touch()
+        with pytest.raises(ValueError, match='finished'):
+            MonoDepthLoop(make_cfg(), ckpt_dir)
+
+    def test_resume_skips_epochs(self, slowtv_root, tmp_path):
+        ckpt_dir = tmp_path / 'run'
+        cfg = make_cfg()
+        cfg['trainer']['max_epochs'] = 1
+        loop = MonoDepthLoop(cfg, ckpt_dir)
+        loop.fit()
+        assert int(loop.state.step) == 2
+
+        # Second run with more epochs resumes from epoch 1.
+        (ckpt_dir / 'finished').unlink()
+        cfg2 = make_cfg()
+        cfg2['trainer']['max_epochs'] = 2
+        loop2 = MonoDepthLoop(cfg2, ckpt_dir)
+        loop2.fit()
+        assert loop2.start_epoch == 1
+        assert int(loop2.state.step) == 4
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+        from slowtv_monodepth_tpu.core import MonoDepthTrainer
+        from slowtv_monodepth_tpu import parsers
+        cfg = make_cfg()
+        trainer = MonoDepthTrainer(cfg)
+        tx = parsers.make_optimizer(cfg)
+        x = {'imgs': jnp.zeros((1, 32, 64, 3))}
+        state = trainer.init_state(jax.random.PRNGKey(0), x, (-1, 1), tx)
+
+        save_checkpoint(tmp_path / 'ck', state, cfg, epoch=3, monitor=1.5)
+        state2, meta = load_checkpoint(tmp_path / 'ck', state)
+        assert meta['epoch'] == 3 and meta['monitor'] == 1.5
+        a = jax.tree_util.tree_leaves(state.params)[0]
+        b = jax.tree_util.tree_leaves(state2.params)[0]
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
