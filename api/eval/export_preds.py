@@ -1,0 +1,80 @@
+"""Export network predictions on an eval dataset -> compressed NPZ.
+
+Equivalent of `api/eval/export_preds.py:22-96` (reference): predictor dispatch
+by ckpt string (`midas.DPT_Large`, `newcrfs.indoor`, else 'ours'), per-dataset
+input shapes, the `finished`-marker guard on unfinished training dirs, and
+`np.savez_compressed(file, pred=preds)` output.
+"""
+from __future__ import annotations
+
+import sys
+from argparse import ArgumentParser
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+
+from slowtv_monodepth_tpu import LOGGER, PRED_REG, parsers, trigger_preds  # noqa: E402
+from slowtv_monodepth_tpu.config import load_yaml  # noqa: E402
+from slowtv_monodepth_tpu.data import DataLoader  # noqa: E402
+from slowtv_monodepth_tpu.paths import find_model_file  # noqa: E402
+
+
+def save_preds(file: Path, preds: np.ndarray) -> None:
+    file.parent.mkdir(parents=True, exist_ok=True)
+    LOGGER.info(f"Saving network predictions to '{file}'...")
+    np.savez_compressed(file, pred=preds)
+
+
+def compute_preds(cfg: dict, ckpt: str, cfg_model=None, overwrite: bool = False,
+                  batch_size: int = 12, num_workers: int = 8) -> np.ndarray:
+    """Compute predictions for a dataset cfg + checkpoint (or external name)."""
+    trigger_preds()
+    model_type = ckpt.split('.', maxsplit=1)[0]
+    model_type = model_type if model_type in PRED_REG else 'ours'
+
+    predictor = PRED_REG[model_type]()
+    if model_type == 'ours':
+        ckpt_path = Path(ckpt) if Path(ckpt).exists() else find_model_file(ckpt)
+        run_dir = ckpt_path.parent
+        if not (run_dir / 'finished').is_file() and not overwrite:
+            LOGGER.error(f"Training for '{ckpt_path}' has not finished... "
+                         'Set `--overwrite 1` to evaluate anyway.')
+            raise SystemExit(1)
+        net = predictor.load_model(ckpt_path, cfg_model)
+    else:
+        net = predictor.load_model(ckpt.split('.', maxsplit=1)[1])
+
+    cfg = dict(cfg)
+    cfg.pop('target_stem', None)
+    ds_type = cfg.pop('type')
+    cfg.update({'shape': predictor.get_img_shape(ds_type),
+                'use_aug': False, 'log_time': False})
+
+    ds = next(iter(parsers.get_ds({ds_type: cfg}).values()))
+    dl = DataLoader(ds, batch_size=batch_size, num_workers=num_workers,
+                    shuffle=False, drop_last=False)
+
+    LOGGER.info('Computing predictions...')
+    return predictor(net, dl, use_stereo_blend=False)
+
+
+if __name__ == '__main__':
+    parser = ArgumentParser(description='Export network predictions on a target dataset.')
+    parser.add_argument('--cfg-file', required=True, type=Path)
+    parser.add_argument('--ckpt', required=True, type=str)
+    parser.add_argument('--cfg-model', default=None, nargs='*', type=Path)
+    parser.add_argument('--save-file', default=None, type=Path)
+    parser.add_argument('--overwrite', default=0, type=int)
+    args = parser.parse_args()
+
+    if args.save_file and args.save_file.is_file() and not args.overwrite:
+        LOGGER.error(f"Prediction file already exists '{args.save_file}'... "
+                     'Set `--overwrite 1` to export anyway.')
+        raise SystemExit(1)
+
+    cfg = load_yaml(args.cfg_file)['dataset']
+    preds = compute_preds(cfg, args.ckpt, args.cfg_model, args.overwrite)
+    if args.save_file:
+        save_preds(args.save_file, preds)

@@ -1,0 +1,81 @@
+"""Full training entry point.
+
+Equivalent of `api/train/train.py:13-134` (reference), on the TPU-native
+stack: merged YAML cfg chain, tensorboard scalar logging, best/last orbax
+checkpoints with monitor-based selection, run markers, resume/warm-start, and
+data parallelism over all local devices via a 1-D mesh (LR auto-scaling by
+devices x accumulation).
+
+Usage:
+    python api/train/train.py -c cfg/kbr/default.yaml cfg/kbr/base.yaml \
+        -n kbr/base -v 42
+"""
+from __future__ import annotations
+
+import random
+import sys
+from argparse import ArgumentParser
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+
+from slowtv_monodepth_tpu import LOGGER  # noqa: E402
+from slowtv_monodepth_tpu.config import load_merge_yaml  # noqa: E402
+from slowtv_monodepth_tpu.core import MonoDepthLoop  # noqa: E402
+from slowtv_monodepth_tpu.parallel import make_mesh  # noqa: E402
+from slowtv_monodepth_tpu.paths import MODEL_ROOTS  # noqa: E402
+
+
+def make_writer(kind: str, log_dir: Path):
+    if kind == 'tensorboard':
+        from tensorboardX import SummaryWriter
+        return SummaryWriter(str(log_dir))
+    if kind == 'wandb':
+        try:
+            import wandb  # noqa: F401
+        except ImportError:
+            LOGGER.warning('wandb unavailable; falling back to tensorboard.')
+            from tensorboardX import SummaryWriter
+            return SummaryWriter(str(log_dir))
+    raise ValueError(f'Logger "{kind}" not supported. ({{tensorboard, wandb}})')
+
+
+def main():
+    parser = ArgumentParser(description='Monocular depth trainer (TPU).')
+    parser.add_argument('--cfg-files', '-c', type=Path, nargs='*', required=True,
+                        help='YAML config chain (default, override1, ...).')
+    parser.add_argument('--ckpt-dir', '-o', default=MODEL_ROOTS[-1], type=Path)
+    parser.add_argument('--name', '-n', required=True, type=str)
+    parser.add_argument('--version', '-v', default=0, type=int)
+    parser.add_argument('--seed', '-s', default=42, type=int)
+    parser.add_argument('--devices', '-g', default=None, type=int,
+                        help='Devices in the data mesh (default: all).')
+    args = parser.parse_args()
+
+    LOGGER.info(f'Creating config from {[f.name for f in args.cfg_files]}...')
+    cfg = load_merge_yaml(*args.cfg_files)
+    cfg['seed'] = args.seed
+    cfg.setdefault('loader', {})['seed'] = args.seed
+    random.seed(args.seed)
+    np.random.seed(args.seed)
+
+    version = f'{args.version:03}'
+    save_dir = Path(args.ckpt_dir) / args.name / version
+    save_dir.mkdir(parents=True, exist_ok=True)
+
+    writer = make_writer(cfg.get('trainer', {}).get('logger', 'tensorboard'),
+                         save_dir / 'logs')
+
+    import jax
+    mesh = make_mesh(args.devices) if (args.devices or len(jax.devices()) > 1) else None
+    if mesh is not None:
+        LOGGER.info(f'Data-parallel mesh over {mesh.devices.size} devices.')
+
+    loop = MonoDepthLoop(cfg, ckpt_dir=save_dir / 'models', mesh=mesh, writer=writer)
+    loop.fit()
+
+
+if __name__ == '__main__':
+    main()

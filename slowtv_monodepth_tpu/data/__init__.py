@@ -4,8 +4,11 @@ from .base_mde import IMAGENET_MEAN, IMAGENET_STD, MdeBaseDataset, SuppImageNotF
 from .loader import ConcatDataLoader, DataLoader, ShardedSampler
 
 # Concrete datasets (populate DATA_REG via @register).
+from .eval_datasets import (DdadDataset, DiodeDataset, NyudDataset,
+                            SintelDataset, TumDataset)
 from .kitti_raw import KittiRawDataset
 from .mannequin import MannequinDataset
+from .mapfreereloc import MapFreeRelocDataset
 from .slow_tv import SlowTvDataset
 from .syns_patches import SynsPatchesDataset
 
@@ -13,5 +16,7 @@ __all__ = [
     'ColorJiggle', 'BaseDataset', 'collate_items',
     'IMAGENET_MEAN', 'IMAGENET_STD', 'MdeBaseDataset', 'SuppImageNotFoundError',
     'ConcatDataLoader', 'DataLoader', 'ShardedSampler',
-    'KittiRawDataset', 'MannequinDataset', 'SlowTvDataset', 'SynsPatchesDataset',
+    'KittiRawDataset', 'MannequinDataset', 'MapFreeRelocDataset', 'SlowTvDataset',
+    'SynsPatchesDataset', 'DdadDataset', 'DiodeDataset', 'NyudDataset',
+    'SintelDataset', 'TumDataset',
 ]

@@ -29,10 +29,13 @@ def _load_user_paths() -> dict:
 
 
 def _build_roots(key: str, defaults: list[Path]) -> list[Path]:
+    """Priority: env var `SLOWTV_<key>` (colon-separated) > PATHS.yaml > repo defaults."""
+    env = os.environ.get(f'SLOWTV_{key}')
+    env_roots = [Path(p) for p in env.split(':')] if env else []
     user = _load_user_paths().get(key) or []
     if isinstance(user, (str, os.PathLike)):
         user = [user]
-    return [Path(p) for p in user] + defaults
+    return env_roots + [Path(p) for p in user] + defaults
 
 
 MODEL_ROOTS = _build_roots('MODEL_ROOTS', _DEFAULT_MODEL_ROOTS)
