@@ -7,9 +7,12 @@ from .loader import ConcatDataLoader, DataLoader, ShardedSampler
 from .eval_datasets import (DdadDataset, DiodeDataset, NyudDataset,
                             SintelDataset, TumDataset)
 from .kitti_raw import KittiRawDataset
+from .kitti_raw_pack import KittiRawPackDataset
 from .mannequin import MannequinDataset
+from .mannequin_pack import MannequinPackDataset
 from .mapfreereloc import MapFreeRelocDataset
 from .slow_tv import SlowTvDataset
+from .slow_tv_pack import SlowTvPackDataset
 from .syns_patches import SynsPatchesDataset
 
 __all__ = [
