@@ -23,7 +23,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
 
 from slowtv_monodepth_tpu import LOGGER  # noqa: E402
 from slowtv_monodepth_tpu.config import load_merge_yaml  # noqa: E402
-from slowtv_monodepth_tpu.core import MonoDepthLoop  # noqa: E402
+from slowtv_monodepth_tpu.core import HeavyLogger, MonoDepthLoop  # noqa: E402
 from slowtv_monodepth_tpu.parallel import make_mesh  # noqa: E402
 from slowtv_monodepth_tpu.paths import MODEL_ROOTS  # noqa: E402
 
@@ -73,7 +73,8 @@ def main():
     if mesh is not None:
         LOGGER.info(f'Data-parallel mesh over {mesh.devices.size} devices.')
 
-    loop = MonoDepthLoop(cfg, ckpt_dir=save_dir / 'models', mesh=mesh, writer=writer)
+    loop = MonoDepthLoop(cfg, ckpt_dir=save_dir / 'models', mesh=mesh, writer=writer,
+                         heavy_logger=HeavyLogger(n_imgs=6, n_cols=2))
     loop.fit()
 
 

@@ -85,7 +85,7 @@ class MonoDepthLoop:
 
     def __init__(self, cfg: dict, ckpt_dir, mesh=None, writer=None,
                  shard_id: int = 0, num_shards: int = 1,
-                 use_markers: bool = True):
+                 use_markers: bool = True, heavy_logger=None):
         self.cfg = cfg
         self.ckpt_dir = Path(ckpt_dir)
         self.mesh = mesh
@@ -134,6 +134,8 @@ class MonoDepthLoop:
         self.start_epoch = 0
         self.global_step = 0
         self.timer = MultiLevelTimer(name='Loop', as_ms=True)
+        self.heavy_logger = heavy_logger
+        self.current_batch: dict = {}  # mode -> last (x, y, m) + supp_idxs.
 
     # ------------------------------------------------------------------ setup
     def _step_fn(self, supp_idxs: tuple, train: bool):
@@ -210,6 +212,7 @@ class MonoDepthLoop:
             key = jax.random.PRNGKey(int(rng.integers(2 ** 31)))
             self.state, scalars = step(self.state, xb, yb, key)
             last_scalars = scalars
+            self.current_batch['train'] = ((xb, yb, m), supp_idxs)
             self.global_step += 1
 
             if self.global_step % self.log_every_n == 0:
@@ -220,6 +223,11 @@ class MonoDepthLoop:
             loss = float(last_scalars['loss'])
             if not math.isfinite(loss):
                 raise ValueError(f'Detected NaN/Infinite loss: "{loss}"')
+
+        if self.heavy_logger is not None and 'train' in self.current_batch:
+            batch, supp_idxs = self.current_batch['train']
+            self.heavy_logger.log_step(self.trainer, self.state, batch, supp_idxs,
+                                       self.writer, epoch, mode='train')
 
     def val_epoch(self, epoch: int) -> dict:
         if self.val_dl is None or self.state is None:
