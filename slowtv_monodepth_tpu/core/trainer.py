@@ -64,6 +64,11 @@ class MonoDepthTrainer:
         self.max_depth = tcfg.get('max_depth', None)
         self.should_scale = bool(self.min_depth or self.max_depth)
         self.always_fwd_pose = tcfg.get('always_fwd_pose', True)
+        # TPU mixed precision: 'bf16' runs network forward/backward in
+        # bfloat16 (master params and losses stay f32). Unlike the fp16 that
+        # NaN'd the reference (`cfg/default.yaml:174`), bf16 keeps the f32
+        # exponent range, so no loss scaling is needed.
+        self.precision = str(tcfg.get('precision', 32))
 
         self.scales = tuple(self.nets['depth'].out_sc)
         self.n_scales = len(self.scales)
@@ -76,13 +81,29 @@ class MonoDepthTrainer:
         return to_inv(disp)
 
     def _apply(self, key: str, params, aux, x, train: bool):
-        """Apply one net; returns (out, new_aux) threading batch_stats."""
-        variables = {'params': params[key], **aux.get(key, {})}
+        """Apply one net; returns (out, new_aux) threading batch_stats.
+
+        Under bf16 precision, params and inputs cast to bfloat16 for the
+        network pass and every floating output casts back to f32 (losses and
+        the automatic grad-cast transpose stay f32).
+        """
+        p = params[key]
+        if self.precision == 'bf16':
+            p = jax.tree_util.tree_map(
+                lambda v: v.astype(jnp.bfloat16) if v.dtype == jnp.float32 else v, p)
+            x = x.astype(jnp.bfloat16)
+        variables = {'params': p, **aux.get(key, {})}
         net = self.nets[key]
         if train and 'batch_stats' in aux.get(key, {}):
             out, updated = net.apply(variables, x, train=True, mutable=['batch_stats'])
-            return out, dict(updated)
-        return net.apply(variables, x, train=train), aux.get(key, {})
+            new_aux = dict(updated)
+        else:
+            out, new_aux = net.apply(variables, x, train=train), aux.get(key, {})
+        if self.precision == 'bf16':
+            out = jax.tree_util.tree_map(
+                lambda v: v.astype(jnp.float32)
+                if hasattr(v, 'dtype') and v.dtype == jnp.bfloat16 else v, out)
+        return out, new_aux
 
     # ---------------------------------------------------------------- forward
     def forward(self, params, aux, x, supp_idxs: tuple, train: bool):

@@ -238,3 +238,24 @@ class TestAspectRatio:
         out = crop_resize(img, jnp.array([8.0, 12.0]), (8, 12))
         manual = img[:, 4:12, 6:18]
         np.testing.assert_allclose(np.asarray(out), np.asarray(manual), atol=1e-5)
+
+
+class TestPrecision:
+    def test_bf16_close_to_f32(self):
+        """bf16 forward/backward trains and tracks the f32 loss closely."""
+        batch = make_batch(jax.random.PRNGKey(1))
+        losses = {}
+        for prec in (32, 'bf16'):
+            cfg = make_cfg(trainer={'min_depth': 0.1, 'max_depth': 100,
+                                    'always_fwd_pose': False, 'precision': prec})
+            trainer = MonoDepthTrainer(cfg)
+            tx = parsers.make_optimizer(cfg)
+            state = trainer.init_state(jax.random.PRNGKey(0), batch[0], (-1, 1), tx)
+            step = make_train_step(trainer, (-1, 1), tx, donate=False)
+            state, sc = step(state, batch[0], batch[1], jax.random.PRNGKey(2))
+            losses[prec] = float(sc['loss'])
+            # Master params stay f32 regardless of compute precision.
+            assert all(v.dtype == jnp.float32 for v in
+                       jax.tree_util.tree_leaves(state.params))
+        assert np.isfinite(losses['bf16'])
+        assert abs(losses['bf16'] - losses[32]) / abs(losses[32]) < 0.05
