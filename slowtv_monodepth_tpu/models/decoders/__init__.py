@@ -4,6 +4,7 @@ from .ddvnet import DDVNetDecoder
 from .diffnet import DiffNetDecoder
 from .cadepth import CaDepthDecoder
 from .superdepth import SuperdepthDecoder
+from .dpt import DptDecoder
 
 __all__ = ['MonodepthDecoder', 'HRDepthDecoder', 'DDVNetDecoder', 'DiffNetDecoder',
-           'CaDepthDecoder', 'SuperdepthDecoder']
+           'CaDepthDecoder', 'SuperdepthDecoder', 'DptDecoder']

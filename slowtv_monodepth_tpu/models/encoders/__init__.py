@@ -9,11 +9,12 @@ use. Pretrained timm/torch weights are imported via
 """
 from .resnet import ResNetEncoder, RESNET_SPECS
 from .convnext import ConvNeXtEncoder, CONVNEXT_SPECS
+from .vit import ViTEncoder, VIT_SPECS
 
 __all__ = ['create_encoder', 'ENCODER_SPECS', 'ResNetEncoder', 'ConvNeXtEncoder',
-           'RESNET_SPECS', 'CONVNEXT_SPECS']
+           'ViTEncoder', 'RESNET_SPECS', 'CONVNEXT_SPECS', 'VIT_SPECS']
 
-ENCODER_SPECS = {**RESNET_SPECS, **CONVNEXT_SPECS}
+ENCODER_SPECS = {**RESNET_SPECS, **CONVNEXT_SPECS, **VIT_SPECS}
 
 
 def create_encoder(name: str, in_chans: int = 3):
@@ -27,6 +28,13 @@ def create_encoder(name: str, in_chans: int = 3):
     elif name in CONVNEXT_SPECS:
         spec = CONVNEXT_SPECS[name]
         enc = ConvNeXtEncoder(depths=spec['depths'], dims=spec['dims'], in_chans=in_chans)
+    elif name.removeprefix('dpt_') in VIT_SPECS:
+        # DPT-style ViT backbones ('dpt_' prefix kept for reference-cfg parity,
+        # ref `api/quickstart/networks/depth.py:95-100`).
+        spec = VIT_SPECS[name.removeprefix('dpt_')]
+        enc = ViTEncoder(dim=spec['dim'], depth=spec['depth'], heads=spec['heads'],
+                         hooks=spec['hooks'], channels=spec['channels'],
+                         in_chans=in_chans)
     else:
         raise KeyError(f'Unknown encoder "{name}". Available: {sorted(ENCODER_SPECS)}')
     return enc, list(spec['channels']), list(spec['reductions'])

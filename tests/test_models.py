@@ -264,3 +264,33 @@ def test_autoencoder_contract():
     out = net.apply(var, x)
     assert out['autoenc_imgs'][0].shape == (1, 32, 32, 3)
     assert len(out['autoenc_feats']) == 5
+
+
+class TestDpt:
+    def test_vit_dpt_depthnet(self):
+        """DPT-style DepthNet: ViT encoder + DPT decoder, mult-of-16 inputs."""
+        import jax
+        import jax.numpy as jnp
+        from slowtv_monodepth_tpu.models import DepthNet
+        net = DepthNet(enc_name='dpt_vitb16_384', pretrained=False, dec_name='dpt',
+                       out_scales=(0,))
+        x = jnp.zeros((1, 64, 96, 3))
+        v = net.init(jax.random.PRNGKey(0), x, train=False)
+        out = net.apply(v, x, train=False)
+        assert out['disp'][0].shape == (1, 64, 96, 1)
+        assert len(out['depth_feats']) == 4
+        # Reassembled pyramid at strides 4/8/16/32.
+        assert [f.shape[1] for f in out['depth_feats']] == [16, 8, 4, 2]
+        d = np.asarray(out['disp'][0])
+        assert (d >= 0).all() and (d <= 1).all()
+
+    def test_vit_rejects_bad_shape(self):
+        import jax
+        import jax.numpy as jnp
+        from slowtv_monodepth_tpu.models.encoders import create_encoder
+        enc, chans, reds = create_encoder('vitb16_384')
+        assert chans == [96, 192, 384, 768]
+        assert reds == [4, 8, 16, 32]
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match='multiple of 16'):
+            enc.init(jax.random.PRNGKey(0), jnp.zeros((1, 60, 96, 3)), train=False)
