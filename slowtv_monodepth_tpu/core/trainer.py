@@ -67,7 +67,10 @@ class MonoDepthTrainer:
         # TPU mixed precision: 'bf16' runs network forward/backward in
         # bfloat16 (master params and losses stay f32). Unlike the fp16 that
         # NaN'd the reference (`cfg/default.yaml:174`), bf16 keeps the f32
-        # exponent range, so no loss scaling is needed.
+        # exponent range, so no loss scaling is needed. NOTE: measured on
+        # v5e, f32 storage is NOT slower — XLA already executes f32
+        # convs/matmuls in bf16 on the MXU (DEFAULT precision), so this flag
+        # buys activation-memory headroom (bigger batches), not step time.
         self.precision = str(tcfg.get('precision', 32))
 
         self.scales = tuple(self.nets['depth'].out_sc)
