@@ -72,6 +72,11 @@ class MonoDepthTrainer:
         # convs/matmuls in bf16 on the MXU (DEFAULT precision), so this flag
         # buys activation-memory headroom (bigger batches), not step time.
         self.precision = str(tcfg.get('precision', 32))
+        # Rematerialization: recompute network activations in the backward
+        # pass instead of storing them (jax.checkpoint), trading ~30% step
+        # FLOPs for activation memory — the TPU lever for larger batches or
+        # full-resolution SlowTV training on small-HBM chips.
+        self.remat = bool(tcfg.get('remat', False))
 
         self.scales = tuple(self.nets['depth'].out_sc)
         self.n_scales = len(self.scales)
@@ -98,10 +103,16 @@ class MonoDepthTrainer:
         variables = {'params': p, **aux.get(key, {})}
         net = self.nets[key]
         if train and 'batch_stats' in aux.get(key, {}):
-            out, updated = net.apply(variables, x, train=True, mutable=['batch_stats'])
+            fn = lambda v, xx: net.apply(v, xx, train=True, mutable=['batch_stats'])  # noqa: E731
+            if self.remat:
+                fn = jax.checkpoint(fn)
+            out, updated = fn(variables, x)
             new_aux = dict(updated)
         else:
-            out, new_aux = net.apply(variables, x, train=train), aux.get(key, {})
+            fn = lambda v, xx: net.apply(v, xx, train=train)  # noqa: E731
+            if self.remat and train:
+                fn = jax.checkpoint(fn)
+            out, new_aux = fn(variables, x), aux.get(key, {})
         if self.precision == 'bf16':
             out = jax.tree_util.tree_map(
                 lambda v: v.astype(jnp.float32)

@@ -1,8 +1,9 @@
 from .ops import (
     eps, standardize, unstandardize, to_gray, mean_normalize, eye_like,
-    resize, resize_like, upsample2x_nearest,
+    resize, resize_like, upsample2x_nearest, dilate_mask, erode_mask,
 )
 from .sample import grid_sample
+from .pallas_sample import grid_sample_fused, grid_sample_pallas
 from .geometry import (
     to_scaled, to_log, to_inv, blend_stereo,
     decompose_AA, R_from_q, T_from_Rt, T_from_AAt, T_from_qt,
@@ -13,8 +14,8 @@ from .geometry import (
 
 __all__ = [
     'eps', 'standardize', 'unstandardize', 'to_gray', 'mean_normalize', 'eye_like',
-    'resize', 'resize_like', 'upsample2x_nearest',
-    'grid_sample',
+    'resize', 'resize_like', 'upsample2x_nearest', 'dilate_mask', 'erode_mask',
+    'grid_sample', 'grid_sample_fused', 'grid_sample_pallas',
     'to_scaled', 'to_log', 'to_inv', 'blend_stereo',
     'decompose_AA', 'R_from_q', 'T_from_Rt', 'T_from_AAt', 'T_from_qt',
     'centre_crop_K', 'resize_K', 'pad_K',

@@ -84,3 +84,23 @@ def upsample2x_nearest(x: jnp.ndarray) -> jnp.ndarray:
     b, h, w, c = x.shape
     x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
     return x.reshape(b, 2 * h, 2 * w, c)
+
+
+def dilate_mask(mask: jnp.ndarray, kernel_size: int = 3) -> jnp.ndarray:
+    """Morphological dilation of a boolean mask (ref `src/tools/ops.py:213-223`).
+
+    :param mask: (b, h, w, 1) boolean mask (NHWC).
+    """
+    from jax import lax
+    pad = kernel_size // 2
+    out = lax.reduce_window(
+        mask.astype(jnp.float32), -jnp.inf, lax.max,
+        window_dimensions=(1, kernel_size, kernel_size, 1),
+        window_strides=(1, 1, 1, 1),
+        padding=((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    return out > 0
+
+
+def erode_mask(mask: jnp.ndarray, kernel_size: int = 3) -> jnp.ndarray:
+    """Morphological erosion via inverted dilation (ref `ops.py:226-238`)."""
+    return ~dilate_mask(~mask, kernel_size=kernel_size)

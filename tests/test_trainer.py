@@ -259,3 +259,18 @@ class TestPrecision:
                        jax.tree_util.tree_leaves(state.params))
         assert np.isfinite(losses['bf16'])
         assert abs(losses['bf16'] - losses[32]) / abs(losses[32]) < 0.05
+
+    def test_remat_matches(self):
+        """Remat changes memory, not numerics: loss identical to baseline."""
+        batch = make_batch(jax.random.PRNGKey(1))
+        losses = {}
+        for remat in (False, True):
+            cfg = make_cfg(trainer={'min_depth': 0.1, 'max_depth': 100,
+                                    'always_fwd_pose': False, 'remat': remat})
+            trainer = MonoDepthTrainer(cfg)
+            tx = parsers.make_optimizer(cfg)
+            state = trainer.init_state(jax.random.PRNGKey(0), batch[0], (-1, 1), tx)
+            step = make_train_step(trainer, (-1, 1), tx, donate=False)
+            _, sc = step(state, batch[0], batch[1], jax.random.PRNGKey(2))
+            losses[remat] = float(sc['loss'])
+        np.testing.assert_allclose(losses[True], losses[False], rtol=1e-6)
