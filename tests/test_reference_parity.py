@@ -158,3 +158,55 @@ class TestMetricParity:
             inv = mode == 'lsqr'
             np.testing.assert_allclose(o.align(pred, target, inv=inv),
                                        r.align(pred, target, inv=inv), rtol=1e-5)
+
+
+class TestHandlerParity:
+    def test_image_recon_handler(self):
+        """Scale-flattened multi-scale reconstruction == reference handler."""
+        from src.core import handlers as ref_h
+        from src.losses.reconstruction import ReconstructionLoss as RefRecon
+        from src.tools.geometry import ViewSynth
+        from slowtv_monodepth_tpu.core import handlers as h
+
+        n = 2
+        depths = {s: (1 + 10 * rand(B, H, W, 1)) for s in range(2)}
+        imgs = rand(B, H, W, 3)
+        supp = rand(n, B, H, W, 3)
+        aa = 0.05 * (rand(n * B, 3) - 0.5)
+        t = 0.2 * (rand(n * B, 3) - 0.5)
+        Ts = np.asarray(ops.T_from_AAt(jnp.asarray(aa), jnp.asarray(t))).reshape(n, B, 4, 4)
+        K = np.tile(np.array([[20, 0, W / 2, 0], [0, 20, H / 2, 0],
+                              [0, 0, 1, 0], [0, 0, 0, 1]], np.float32), (B, 1, 1))
+
+        l_ref, ld_ref = ref_h.image_recon(
+            RefRecon(use_min=True, use_automask=False), ViewSynth((H, W)),
+            depths={s: to_torch_nchw(d) for s, d in depths.items()}, masks=None,
+            imgs=to_torch_nchw(imgs),
+            supp_imgs=torch.from_numpy(supp).permute(0, 1, 4, 2, 3).contiguous(),
+            Ts=torch.from_numpy(Ts), Ks=torch.from_numpy(K))
+
+        crit = ReconstructionLoss(use_min=True, use_automask=False)
+        l, ld = h.image_recon(crit, {s: jnp.asarray(d) for s, d in depths.items()},
+                              None, jnp.asarray(imgs), jnp.asarray(supp),
+                              jnp.asarray(Ts), jnp.asarray(K))
+        np.testing.assert_allclose(float(l), float(l_ref), rtol=1e-4)
+        warp_ref = ld_ref['supp_imgs_warp'].permute(0, 1, 3, 4, 2).numpy()
+        np.testing.assert_allclose(np.asarray(ld['supp_imgs_warp']), warp_ref, atol=1e-4)
+
+
+class TestAspectRatioParity:
+    def test_sample_resize_matches(self):
+        """Deterministic resize bucketing == reference (above the 32px clamp)."""
+        import importlib.util
+        spec = importlib.util.spec_from_file_location(
+            'ref_ar', '/root/reference/src/core/aspect_ratio.py')
+        # aspect_ratio.py imports kornia/torch/src; stubs already installed.
+        ref_ar = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(ref_ar)
+        from slowtv_monodepth_tpu.core import sample_resize
+
+        for shape in ((700, 1000), (376, 1242), (201, 467), (640, 360)):
+            for ref_shape in ((384, 640), (192, 640)):
+                ours = sample_resize(shape, ref_shape, eps=0.8)
+                theirs = tuple(ref_ar.sample_resize(shape, ref_shape, eps=0.8))
+                assert ours == theirs, (shape, ref_shape, ours, theirs)
