@@ -19,6 +19,7 @@ import logging
 from .registry import (
     DATA_REG, DEC_REG, LOSS_REG, NET_REG, PRED_REG, SCHED_REG, register,
     trigger_datasets, trigger_decoders, trigger_losses, trigger_networks, trigger_preds,
+    trigger_scheds,
 )
 
 __version__ = '0.1.0'
@@ -34,4 +35,5 @@ __all__ = [
     'LOGGER', 'register',
     'NET_REG', 'LOSS_REG', 'DATA_REG', 'PRED_REG', 'DEC_REG', 'SCHED_REG',
     'trigger_networks', 'trigger_losses', 'trigger_datasets', 'trigger_decoders', 'trigger_preds',
+    'trigger_scheds',
 ]

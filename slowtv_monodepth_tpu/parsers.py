@@ -138,32 +138,29 @@ def _path_has(path, name: str) -> bool:
 def get_sched(cfg: Optional[dict], lr: float, steps_per_epoch: int) -> Any:
     """Compose cfg schedulers into one optax schedule over *steps*.
 
-    Supported types (matching the registered torch schedulers the reference
-    cfgs use): `steplr` {step_size, gamma} and `linear` {start_factor,
-    total_iters} — both stepped per epoch and multiplied together, which is
-    exactly what `ChainedScheduler` does (`src/core/trainer.py:85-94`).
+    Registered factories (`core.schedules`: steplr/linear/cosine) each give a
+    per-epoch multiplicative factor; factors multiply together, which is
+    exactly what the reference's `ChainedScheduler` does
+    (`src/core/trainer.py:85-94`).
     """
     if not cfg:
         return lr
 
-    known = {'steplr', 'linear'}
-    bad = set(k for k, v in cfg.items() if v is not None) - known
-    if bad:
-        raise KeyError(f'Unknown scheduler(s) {sorted(bad)}. ({sorted(known)})')
-
-    step_cfg = cfg.get('steplr')
-    lin_cfg = cfg.get('linear')
+    from . import SCHED_REG, trigger_scheds
+    trigger_scheds()
+    factors = []
+    for k, kw in cfg.items():
+        if kw is None:
+            continue
+        if k not in SCHED_REG:
+            raise KeyError(f'Unknown scheduler "{k}". ({sorted(SCHED_REG)})')
+        factors.append(SCHED_REG[k](**kw))
 
     def schedule(step):
         epoch = step // max(steps_per_epoch, 1)
         val = lr
-        if step_cfg:
-            val = val * step_cfg.get('gamma', 0.1) ** (epoch // step_cfg['step_size'])
-        if lin_cfg:
-            sf = lin_cfg.get('start_factor', 1. / 3)
-            total = lin_cfg.get('total_iters', 5)
-            factor = jax.numpy.minimum(1.0, sf + (1.0 - sf) * epoch / total)
-            val = val * factor
+        for f in factors:
+            val = val * f(epoch)
         return val
 
     return schedule

@@ -1,0 +1,65 @@
+"""Config-tree validation: every recipe constructs its nets + losses.
+
+Catches drift between the YAML trees and the registries/constructors without
+needing dataset files on disk (dataset sections are structure-checked only).
+"""
+from pathlib import Path
+
+import pytest
+
+from slowtv_monodepth_tpu import parsers
+from slowtv_monodepth_tpu.config import load_merge_yaml
+
+CFG = Path(__file__).resolve().parents[1] / 'cfg'
+
+KBR = sorted((CFG / 'kbr').glob('*.yaml'))
+BENCH = sorted(p for p in (CFG / 'benchmark').glob('*.yaml') if p.stem != 'default')
+OURS = sorted(p for p in (CFG / 'benchmark_ours').glob('*.yaml') if p.stem != 'default')
+ABL = sorted(p for d in CFG.glob('abl_*') for p in d.glob('*.yaml') if p.stem != 'default')
+
+
+def _merge(default: Path, override: Path) -> dict:
+    return load_merge_yaml(default, override)
+
+
+@pytest.mark.parametrize('variant', [p for p in KBR if p.stem != 'default'],
+                         ids=lambda p: f'kbr/{p.stem}')
+def test_kbr_recipes_construct(variant):
+    cfg = _merge(CFG / 'kbr' / 'default.yaml', variant)
+    nets = parsers.get_net(cfg['net'])
+    losses, weights = parsers.get_loss(cfg['loss'])
+    assert 'depth' in nets
+    assert set(weights) == set(losses)
+    assert 'dataset' in cfg and 'trainer' in cfg
+    tx = parsers.make_optimizer(cfg, steps_per_epoch=10)
+    assert tx is not None
+
+
+@pytest.mark.parametrize('variant', BENCH + OURS + ABL,
+                         ids=lambda p: f'{p.parent.name}/{p.stem}')
+def test_benchmark_recipes_construct(variant):
+    default = variant.parent / 'default.yaml'
+    if variant.parent.name.startswith('abl_'):
+        cfg = load_merge_yaml(CFG / 'benchmark' / 'default.yaml', default, variant)
+    else:
+        cfg = _merge(default, variant)
+    nets = parsers.get_net(cfg['net'])
+    losses, weights = parsers.get_loss(cfg['loss'])
+    assert 'depth' in nets
+    # Recipes dropping the pose net must keep a stereo-only supp config.
+    if 'pose' not in nets:
+        ds = next(iter(cfg['dataset'].values()))
+        assert ds.get('supp_idxs') == [0]
+    tx = parsers.make_optimizer(cfg, steps_per_epoch=10)
+    assert tx is not None
+
+
+@pytest.mark.parametrize('f', sorted((CFG / 'eval').glob('*.yaml')) +
+                         sorted((CFG / 'export').glob('*.yaml')),
+                         ids=lambda p: f'{p.parent.name}/{p.stem}')
+def test_eval_export_cfgs_parse(f):
+    import yaml
+    cfg = yaml.safe_load(open(f))
+    assert 'dataset' in cfg and 'type' in cfg['dataset']
+    if f.parent.name == 'eval':
+        assert 'args' in cfg and 'metrics' in cfg['args']
