@@ -360,10 +360,18 @@ class MonoDepthTrainer:
         for key_rng, (k, net) in zip(keys, self.nets.items()):
             # Init shapes don't need to match the train batch; batch size 1 keeps it cheap.
             dummy = x['imgs'][:1]
+            in_chans = 3
             if k == 'pose':
                 dummy = jnp.concatenate([dummy, dummy], axis=-1)
-            variables = net.init(key_rng, dummy, train=False)
-            variables = dict(variables)
+                in_chans = 6
+            variables = dict(net.init(key_rng, dummy, train=False))
+
+            # ImageNet-pretrained encoder weights (offline timm export; ref
+            # `pretrained=True` semantics, `src/networks/depth.py:97`).
+            if getattr(net, 'pretrained', False) and hasattr(net, 'enc_name'):
+                from ..models.encoders.pretrained import load_pretrained_encoder
+                variables = load_pretrained_encoder(variables, net.enc_name, in_chans)
+
             params[k] = variables.pop('params')
             aux[k] = variables  # batch_stats etc. (possibly empty)
 

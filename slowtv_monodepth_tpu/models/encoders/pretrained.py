@@ -1,0 +1,85 @@
+"""Pretrained encoder weight loading at init time.
+
+The reference gets ImageNet pretraining from `timm.create_model(
+pretrained=True)` (`src/networks/depth.py:97`); ablations show it matters
+(`cfg/abl_pretrained/`). This environment has no torch-hub egress, so weights
+flow through files instead:
+
+1. On any machine with timm: `python api/data/export_timm.py convnext_base`
+   saves `<model_root>/timm/<name>.npz` (a plain name->array dump).
+2. At init, `load_pretrained_encoder` converts that dump with
+   `import_torch.convert_*` and grafts it into the encoder subtree of a
+   freshly initialized param pytree (batch_stats included for ResNets).
+
+Missing weight files log a warning and return the random init — training
+still runs, just unpretrained.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ...paths import MODEL_ROOTS
+from ...utils import get_logger
+from .convnext import CONVNEXT_SPECS
+from .import_torch import convert_convnext, convert_resnet, load_state_dict_file
+from .resnet import RESNET_SPECS
+
+__all__ = ['load_pretrained_encoder', 'find_weights_file']
+
+LOGGER = get_logger('pretrained')
+
+
+def find_weights_file(enc_name: str) -> Optional[str]:
+    for root in MODEL_ROOTS:
+        for suffix in ('.npz', '.pth', '.pt'):
+            f = root / 'timm' / f'{enc_name}{suffix}'
+            if f.is_file():
+                return str(f)
+    return None
+
+
+def _as_jnp(tree):
+    import jax
+    return jax.tree_util.tree_map(lambda v: jnp.asarray(v), tree)
+
+
+def load_pretrained_encoder(variables: dict, enc_name: str,
+                            in_chans: int = 3) -> dict:
+    """Graft pretrained encoder weights into `variables` (params/batch_stats).
+
+    :param variables: Net variables dict with params['encoder'] to replace.
+    :return: Updated variables (unchanged when no weight file is found).
+    """
+    file = find_weights_file(enc_name)
+    if file is None:
+        LOGGER.warning(
+            f'No pretrained weights for "{enc_name}" under <model_root>/timm/; '
+            'using random init. Export with api/data/export_timm.py.')
+        return variables
+
+    LOGGER.info(f'Loading pretrained encoder weights from {file}...')
+    sd = load_state_dict_file(file)
+
+    if enc_name in RESNET_SPECS:
+        spec = RESNET_SPECS[enc_name]
+        block = 'basic' if spec['block'] == 'basic' else 'bottleneck'
+        params, stats = convert_resnet(sd, spec['layers'], block=block,
+                                       in_chans=in_chans)
+        variables = dict(variables)
+        variables['params'] = dict(variables['params'])
+        variables['params']['encoder'] = _as_jnp(params)
+        bs = dict(variables.get('batch_stats', {}))
+        bs['encoder'] = _as_jnp(stats)
+        variables['batch_stats'] = bs
+    elif enc_name in CONVNEXT_SPECS:
+        spec = CONVNEXT_SPECS[enc_name]
+        params = convert_convnext(sd, spec['depths'], in_chans=in_chans)
+        variables = dict(variables)
+        variables['params'] = dict(variables['params'])
+        variables['params']['encoder'] = _as_jnp(params)
+    else:
+        LOGGER.warning(f'No converter for encoder "{enc_name}"; using random init.')
+    return variables

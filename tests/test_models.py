@@ -294,3 +294,60 @@ class TestDpt:
         import pytest as _pytest
         with _pytest.raises(ValueError, match='multiple of 16'):
             enc.init(jax.random.PRNGKey(0), jnp.zeros((1, 60, 96, 3)), train=False)
+
+
+def _make_torch_resnet_sd():
+    """Full resnet18-layout (2,2,2,2) torch state dict as numpy arrays."""
+    import torch.nn as nn
+
+    class R18(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = nn.Conv2d(3, 64, 7, 2, 3, bias=False)
+            self.bn1 = nn.BatchNorm2d(64)
+            chans = [(64, 64, 1), (64, 128, 2), (128, 256, 2), (256, 512, 2)]
+            for i, (cin, cout, s) in enumerate(chans):
+                setattr(self, f'layer{i + 1}', nn.Sequential(
+                    _TorchBasicBlock(cin, cout, s), _TorchBasicBlock(cout, cout, 1)))
+
+    m = R18()
+    _randomize_bn_stats(m)
+    return {k: v.numpy() for k, v in m.state_dict().items()}
+
+
+class TestPretrainedLoading:
+    def test_graft_resnet_weights(self, tmp_path, monkeypatch):
+        """npz dump -> init-time graft; forward uses the grafted weights."""
+        import jax
+        import jax.numpy as jnp
+        import torch
+        from slowtv_monodepth_tpu.models.encoders import pretrained as pt
+
+        # Build a random torch resnet18-layout state dict via the test helper.
+        sd = _make_torch_resnet_sd()
+        f = tmp_path / 'timm' / 'resnet18.npz'
+        f.parent.mkdir(parents=True)
+        np.savez(f, **sd)
+        monkeypatch.setattr(pt, 'MODEL_ROOTS', [tmp_path])
+
+        from slowtv_monodepth_tpu.models import DepthNet
+        net = DepthNet(enc_name='resnet18', pretrained=True,
+                       dec_name='monodepth', out_scales=(0,))
+        x = jnp.zeros((1, 32, 64, 3))
+        variables = dict(net.init(jax.random.PRNGKey(0), x, train=False))
+        grafted = pt.load_pretrained_encoder(dict(variables), 'resnet18')
+
+        got = np.asarray(grafted['params']['encoder']['conv1']['kernel'])
+        want = sd['conv1.weight'].transpose(2, 3, 1, 0)
+        np.testing.assert_allclose(got, want, atol=1e-6)
+        # Non-encoder params untouched.
+        a = jax.tree_util.tree_leaves(variables['params']['decoders_disp'])
+        b = jax.tree_util.tree_leaves(grafted['params']['decoders_disp'])
+        for x1, x2 in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
+
+    def test_missing_weights_warns_not_raises(self, tmp_path, monkeypatch):
+        from slowtv_monodepth_tpu.models.encoders import pretrained as pt
+        monkeypatch.setattr(pt, 'MODEL_ROOTS', [tmp_path])
+        out = pt.load_pretrained_encoder({'params': {}}, 'resnet18')
+        assert out == {'params': {}}
