@@ -24,7 +24,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
 from slowtv_monodepth_tpu import LOGGER  # noqa: E402
 from slowtv_monodepth_tpu.config import load_merge_yaml  # noqa: E402
 from slowtv_monodepth_tpu.core import HeavyLogger, MonoDepthLoop  # noqa: E402
-from slowtv_monodepth_tpu.parallel import make_mesh  # noqa: E402
+from slowtv_monodepth_tpu.parallel import (  # noqa: E402
+    initialize_distributed, make_mesh, process_info)
 from slowtv_monodepth_tpu.paths import MODEL_ROOTS  # noqa: E402
 
 
@@ -68,12 +69,15 @@ def main():
     writer = make_writer(cfg.get('trainer', {}).get('logger', 'tensorboard'),
                          save_dir / 'logs')
 
+    initialize_distributed()  # No-op single host; joins TPU pods otherwise.
     import jax
     mesh = make_mesh(args.devices) if (args.devices or len(jax.devices()) > 1) else None
     if mesh is not None:
         LOGGER.info(f'Data-parallel mesh over {mesh.devices.size} devices.')
+    shard_id, num_shards = process_info()
 
     loop = MonoDepthLoop(cfg, ckpt_dir=save_dir / 'models', mesh=mesh, writer=writer,
+                         shard_id=shard_id, num_shards=num_shards,
                          heavy_logger=HeavyLogger(n_imgs=6, n_cols=2))
     loop.fit()
 

@@ -31,6 +31,7 @@ import numpy as np
 
 from .. import LOGGER, parsers
 from ..parallel import make_train_step, shard_batch
+from ..parallel.multihost import global_batch_sharding, is_main_process
 from ..utils import MultiLevelTimer, flatten_dict
 from .aspect_ratio import aspect_ratio_aug
 from .checkpoint import CheckpointManager, get_latest_ckpt, load_checkpoint
@@ -99,6 +100,11 @@ class MonoDepthLoop:
         self.monitor = tcfg.get('monitor', 'AbsRel')
         self.grad_clip = tcfg.get('gradient_clip_val')
         self.accumulate = tcfg.get('accumulate_grad_batches', 1) or 1
+        # jax.profiler trace capture (SURVEY §5.1's TPU-native tracing):
+        # set `trainer.profile_dir` to dump a TensorBoard-viewable trace of
+        # steps [5, 5 + profile_steps) from the first epoch.
+        self.profile_dir = tcfg.get('profile_dir')
+        self.profile_steps = tcfg.get('profile_steps', 10)
 
         self.ar_aug = partial(
             aspect_ratio_aug,
@@ -126,8 +132,12 @@ class MonoDepthLoop:
             cfg, steps_per_epoch=steps_per_epoch, lr_scale=lr_scale,
             grad_clip=self.grad_clip, accumulate=self.accumulate)
 
+        # Host-side effects only on process 0 (rank_zero_only equivalent).
+        self.is_main = is_main_process()
+        if not self.is_main:
+            self.writer = None
         self.ckpt = CheckpointManager(self.ckpt_dir, monitor=self.monitor)
-        self.manager = TrainingManager(self.ckpt_dir) if use_markers else None
+        self.manager = TrainingManager(self.ckpt_dir) if (use_markers and self.is_main) else None
 
         self._steps: dict = {}  # (supp_idxs, train) -> jitted step fn.
         self.state = None
@@ -170,7 +180,7 @@ class MonoDepthLoop:
         """Host numpy batch -> device (sharded over the mesh when present)."""
         x = {k: v for k, v in x.items() if k != 'supp_idxs'}
         if self.mesh is not None:
-            return shard_batch(self.mesh, (x, y))
+            return global_batch_sharding(self.mesh, (x, y))
         return jax.device_put((x, y))
 
     # ------------------------------------------------------------------- fit
@@ -185,7 +195,8 @@ class MonoDepthLoop:
                     self.manager.on_epoch_start(epoch)
                 self.train_epoch(epoch)
                 metrics = self.val_epoch(epoch) if self.val_dl else {}
-                self.ckpt.step(self.state, self.cfg, epoch, metrics)
+                if self.is_main:
+                    self.ckpt.step(self.state, self.cfg, epoch, metrics)
             if self.manager:
                 self.manager.on_fit_end()
         except BaseException:
@@ -214,6 +225,14 @@ class MonoDepthLoop:
             last_scalars = scalars
             self.current_batch['train'] = ((xb, yb, m), supp_idxs)
             self.global_step += 1
+
+            if self.profile_dir and self.is_main:
+                if self.global_step == 5:
+                    jax.profiler.start_trace(str(self.profile_dir))
+                elif self.global_step == 5 + self.profile_steps:
+                    jax.block_until_ready(scalars['loss'])
+                    jax.profiler.stop_trace()
+                    LOGGER.info(f'Profiler trace written to {self.profile_dir}')
 
             if self.global_step % self.log_every_n == 0:
                 self._log('train', scalars, m)

@@ -2,6 +2,11 @@ from .mesh import (
     make_mesh, replicated, batch_sharding, shard_batch, make_train_step,
     unreplicate,
 )
+from .multihost import (
+    global_batch_sharding, initialize_distributed, is_main_process, process_info,
+)
 
 __all__ = ['make_mesh', 'replicated', 'batch_sharding', 'shard_batch',
-           'make_train_step', 'unreplicate']
+           'make_train_step', 'unreplicate',
+           'global_batch_sharding', 'initialize_distributed', 'is_main_process',
+           'process_info']
