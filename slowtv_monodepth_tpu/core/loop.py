@@ -105,6 +105,15 @@ class MonoDepthLoop:
         # steps [5, 5 + profile_steps) from the first epoch.
         self.profile_dir = tcfg.get('profile_dir')
         self.profile_steps = tcfg.get('profile_steps', 10)
+        # Optional callbacks (ref `api/train/train.py:77-81`): early stopping
+        # on the monitored metric, and stochastic weight averaging over the
+        # last 25% of epochs (functional: a running mean of param pytrees).
+        self.early_stopping = tcfg.get('early_stopping')  # None | patience int/True.
+        self.use_swa = bool(tcfg.get('swa'))
+        self._swa_sum = None
+        self._swa_n = 0
+        self._es_best = None
+        self._es_bad_epochs = 0
 
         self.ar_aug = partial(
             aspect_ratio_aug,
@@ -197,6 +206,11 @@ class MonoDepthLoop:
                 metrics = self.val_epoch(epoch) if self.val_dl else {}
                 if self.is_main:
                     self.ckpt.step(self.state, self.cfg, epoch, metrics)
+                self._swa_update(epoch)
+                if self._should_early_stop(metrics):
+                    LOGGER.info(f'Early stopping at epoch {epoch}.')
+                    break
+            self._swa_finalize()
             if self.manager:
                 self.manager.on_fit_end()
         except BaseException:
@@ -294,3 +308,47 @@ class MonoDepthLoop:
         for k, v in items.items():
             if isinstance(v, (int, float)) and math.isfinite(v):
                 self.writer.add_scalar(k, v, self.global_step)
+
+    # -------------------------------------------------------------- callbacks
+    def _swa_update(self, epoch: int) -> None:
+        """Accumulate the SWA running mean over the last 25% of epochs
+        (ref SWA start 0.75, `api/train/train.py:77-78`)."""
+        if not self.use_swa or self.state is None:
+            return
+        if epoch < int(0.75 * self.max_epochs):
+            return
+        p = self.state.params
+        if self._swa_sum is None:
+            self._swa_sum = jax.tree_util.tree_map(lambda v: v.astype(jax.numpy.float32), p)
+            self._swa_n = 1
+        else:
+            self._swa_sum = jax.tree_util.tree_map(lambda a, b: a + b, self._swa_sum, p)
+            self._swa_n += 1
+
+    def _swa_finalize(self) -> None:
+        if not self.use_swa or self._swa_sum is None or not self.is_main:
+            return
+        from .checkpoint import save_checkpoint
+        avg = jax.tree_util.tree_map(lambda a: a / self._swa_n, self._swa_sum)
+        swa_state = self.state.replace(params=avg)
+        save_checkpoint(self.ckpt_dir / 'swa', swa_state, self.cfg,
+                        epoch=self.max_epochs)
+        LOGGER.info(f'SWA checkpoint over {self._swa_n} epochs -> {self.ckpt_dir / "swa"}')
+
+    def _should_early_stop(self, metrics: dict) -> bool:
+        """Patience-based early stopping on the monitor (ref EarlyStopping
+        patience=5, `api/train/train.py:80-81`)."""
+        if not self.early_stopping or not metrics:
+            return False
+        patience = 5 if self.early_stopping is True else int(self.early_stopping)
+        value = metrics.get(self.monitor)
+        if value is None:
+            return False
+        better = self._es_best is None or (
+            value > self._es_best if self.ckpt.mode == 'max' else value < self._es_best)
+        if better:
+            self._es_best = value
+            self._es_bad_epochs = 0
+        else:
+            self._es_bad_epochs += 1
+        return self._es_bad_epochs >= patience

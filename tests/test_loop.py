@@ -129,3 +129,25 @@ class TestCheckpoint:
         a = jax.tree_util.tree_leaves(state.params)[0]
         b = jax.tree_util.tree_leaves(state2.params)[0]
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+class TestCallbacks:
+    def test_early_stopping(self, slowtv_root, tmp_path):
+        """Loop stops once the monitor stops improving for `patience` epochs."""
+        cfg = make_cfg()
+        cfg['trainer'].update({'max_epochs': 6, 'early_stopping': 1,
+                               'monitor': 'loss'})
+        loop = MonoDepthLoop(cfg, tmp_path / 'run')
+        # Force non-improvement: pretend the monitor is constant.
+        orig = loop.val_epoch
+        loop.val_epoch = lambda epoch: {'loss': 1.0}
+        loop.fit()
+        assert loop._es_bad_epochs >= 1
+        assert int(loop.state.step) < 6 * 2  # Stopped before max_epochs.
+
+    def test_swa_checkpoint(self, slowtv_root, tmp_path):
+        cfg = make_cfg()
+        cfg['trainer'].update({'max_epochs': 2, 'swa': True})
+        loop = MonoDepthLoop(cfg, tmp_path / 'run')
+        loop.fit()
+        assert (tmp_path / 'run' / 'swa').is_dir()
