@@ -19,6 +19,11 @@ import json
 import time
 
 import jax
+
+# Persistent compile cache: repeat bench runs skip the multi-minute XLA
+# compile of the full train step.
+jax.config.update('jax_compilation_cache_dir', '.jax_cache')
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1)
 import jax.numpy as jnp
 
 A100_PYTORCH_IMGS_PER_SEC_ESTIMATE = 30.0
