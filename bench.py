@@ -22,7 +22,10 @@ import jax
 
 # Persistent compile cache: repeat bench runs skip the multi-minute XLA
 # compile of the full train step.
-jax.config.update('jax_compilation_cache_dir', '.jax_cache')
+from pathlib import Path as _Path  # noqa: E402
+
+jax.config.update('jax_compilation_cache_dir',
+                  str(_Path(__file__).resolve().parent / '.jax_cache'))
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 1)
 import jax.numpy as jnp
 
