@@ -63,6 +63,10 @@ class _FusionBlock(nn.Module):
     @nn.compact
     def __call__(self, x, skip=None):
         if skip is not None:
+            # Odd pyramid dims can drift by 1px between stages; snap to the
+            # skip's resolution (the reference's `size=` fusion path).
+            if x.shape[1:3] != skip.shape[1:3]:
+                x = _resize(x, skip.shape[1:3])
             x = x + _ResidualBlock(self.ch, name='res1')(skip)
         x = _ResidualBlock(self.ch, name='res2')(x)
         x = _resize(x, (x.shape[1] * 2, x.shape[2] * 2))

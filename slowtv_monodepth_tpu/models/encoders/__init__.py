@@ -10,11 +10,14 @@ use. Pretrained timm/torch weights are imported via
 from .resnet import ResNetEncoder, RESNET_SPECS
 from .convnext import ConvNeXtEncoder, CONVNEXT_SPECS
 from .vit import ViTEncoder, VIT_SPECS
+from .swin import SwinEncoder, SWIN_SPECS
+from .beit import BeitEncoder, BEIT_SPECS
 
 __all__ = ['create_encoder', 'ENCODER_SPECS', 'ResNetEncoder', 'ConvNeXtEncoder',
-           'ViTEncoder', 'RESNET_SPECS', 'CONVNEXT_SPECS', 'VIT_SPECS']
+           'ViTEncoder', 'SwinEncoder', 'BeitEncoder',
+           'RESNET_SPECS', 'CONVNEXT_SPECS', 'VIT_SPECS', 'SWIN_SPECS', 'BEIT_SPECS']
 
-ENCODER_SPECS = {**RESNET_SPECS, **CONVNEXT_SPECS, **VIT_SPECS}
+ENCODER_SPECS = {**RESNET_SPECS, **CONVNEXT_SPECS, **VIT_SPECS, **SWIN_SPECS, **BEIT_SPECS}
 
 
 def create_encoder(name: str, in_chans: int = 3):
@@ -28,6 +31,16 @@ def create_encoder(name: str, in_chans: int = 3):
     elif name in CONVNEXT_SPECS:
         spec = CONVNEXT_SPECS[name]
         enc = ConvNeXtEncoder(depths=spec['depths'], dims=spec['dims'], in_chans=in_chans)
+    elif name.removeprefix('dpt_') in SWIN_SPECS:
+        spec = SWIN_SPECS[name.removeprefix('dpt_')]
+        enc = SwinEncoder(embed_dim=spec['embed_dim'], depths=spec['depths'],
+                          heads=spec['heads'], window=spec['window'],
+                          in_chans=in_chans)
+    elif name.removeprefix('dpt_') in BEIT_SPECS:
+        spec = BEIT_SPECS[name.removeprefix('dpt_')]
+        enc = BeitEncoder(dim=spec['dim'], depth=spec['depth'], heads=spec['heads'],
+                          hooks=spec['hooks'], channels=spec['channels'],
+                          grid=spec['grid'], in_chans=in_chans)
     elif name.removeprefix('dpt_') in VIT_SPECS:
         # DPT-style ViT backbones ('dpt_' prefix kept for reference-cfg parity,
         # ref `api/quickstart/networks/depth.py:95-100`).

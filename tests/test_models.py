@@ -351,3 +351,28 @@ class TestPretrainedLoading:
         monkeypatch.setattr(pt, 'MODEL_ROOTS', [tmp_path])
         out = pt.load_pretrained_encoder({'params': {}}, 'resnet18')
         assert out == {'params': {}}
+
+
+class TestSwinBeit:
+    def test_swin_pyramid(self):
+        import jax
+        import jax.numpy as jnp
+        from slowtv_monodepth_tpu.models.encoders import create_encoder
+        enc, chans, reds = create_encoder('swint7_224')
+        x = jnp.zeros((1, 64, 64, 3))
+        v = enc.init(jax.random.PRNGKey(0), x, train=False)
+        feats = enc.apply(v, x, train=False)
+        # Natural 4/8/16/32 pyramid:
+        assert [f.shape[-1] for f in feats] == chans
+        assert [x.shape[1] // f.shape[1] for f in feats] == [4, 8, 16, 32]
+
+    def test_beit_depthnet(self):
+        import jax
+        import jax.numpy as jnp
+        from slowtv_monodepth_tpu.models import DepthNet
+        net = DepthNet(enc_name='dpt_beitb16_384', pretrained=False,
+                       dec_name='dpt', out_scales=(0,))
+        x = jnp.zeros((1, 32, 48, 3))
+        v = net.init(jax.random.PRNGKey(0), x, train=False)
+        out = net.apply(v, x, train=False)
+        assert out['disp'][0].shape == (1, 32, 48, 1)
