@@ -17,3 +17,11 @@ import jax  # noqa: E402
 # jax_platforms; unit tests must run on the 8-device virtual CPU mesh.
 jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_enable_x64', False)
+
+# Persistent compile cache: repeat suite runs skip recompiling the big jitted
+# train steps (several minutes each on CPU).
+import pathlib  # noqa: E402
+
+_cache = pathlib.Path(__file__).resolve().parents[1] / '.jax_cache_cpu'
+jax.config.update('jax_compilation_cache_dir', str(_cache))
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1)
