@@ -160,9 +160,10 @@ class MonoDepthLoop:
     def _step_fn(self, supp_idxs: tuple, train: bool):
         key = (tuple(supp_idxs), train)
         if key not in self._steps:
+            # Donate the state: params/opt-state update in place in HBM.
             self._steps[key] = make_train_step(
                 self.trainer, tuple(supp_idxs), self.tx, mesh=self.mesh,
-                train=train, donate=False)
+                train=train, donate=train)
         return self._steps[key]
 
     def _init_state(self, batch) -> None:
