@@ -151,14 +151,62 @@ class BenchmarkPredictor(MonoDepthPredictor):
 
 @register('midas')
 class MidasPredictor(MonoDepthPredictor):
-    """MiDaS/DPT baseline (ref `:254-284`). Requires torch-hub weights, which
-    need network access or a local cache — unavailable here by default."""
+    """MiDaS/DPT baseline (ref `:254-284`).
 
-    def load_model(self, name: str):
-        raise NotImplementedError(
-            'MiDaS baselines require torch-hub weights (intel-isl/MiDaS). '
-            'Provide a local hub cache via TORCH_HOME to enable; this '
-            'environment has no network egress.')
+    The architecture is native (`models.MidasDPT`); weights come from the
+    released intel-isl `DPT_Large` checkpoint placed under a model root as
+    `midas/<name>.pt` (or an `.npz` export), since this environment has no
+    torch-hub egress. Predicts scaleless disparity, bicubic-resized back to
+    the dataset resolution (ref `:277-284`).
+    """
+
+    WEIGHT_FILES = {'DPT_Large': 'midas/dpt_large-midas-2f21e586'}
+
+    def load_model(self, name: str) -> Callable:
+        from ..models.import_midas import convert_midas_dpt, load_midas_state_dict
+        from ..models.midas import MidasDPT
+        from ..paths import MODEL_ROOTS
+
+        if name not in self.WEIGHT_FILES:
+            raise ValueError(f'Unsupported MiDaS variant "{name}". '
+                             f'({sorted(self.WEIGHT_FILES)})')
+        stem = self.WEIGHT_FILES[name]
+        files = [root / f'{stem}{ext}' for root in MODEL_ROOTS
+                 for ext in ('.npz', '.pt', '.pth')]
+        path = next((f for f in files if f.is_file()), None)
+        if path is None:
+            raise FileNotFoundError(
+                f'MiDaS "{name}" weights not found. Download the released '
+                f'checkpoint (torch-hub intel-isl/MiDaS) and place it at '
+                f'"<model_root>/{stem}.pt". Searched: {[str(f) for f in files]}')
+
+        self.logger.info(f"Loading MiDaS weights from '{path}'...")
+        variables = convert_midas_dpt(load_midas_state_dict(path))
+        net = MidasDPT()
+
+        @jax.jit
+        def fwd(imgs):
+            return net.apply(variables, imgs, train=False)
+
+        return fwd
+
+    def preprocess(self, imgs: np.ndarray) -> np.ndarray:
+        """MiDaS normalization: undo ImageNet standardization, renorm with
+        mean=std=0.5, and resize so the smaller scale change hits a
+        multiple-of-32 shape near 384 (dpt_transform, 'minimal' mode)."""
+        from ..ops import unstandardize
+        x = np.asarray(unstandardize(jnp.asarray(imgs)))
+        x = (x - 0.5) / 0.5
+        h, w = x.shape[1:3]
+        scale = min((384 / h, 384 / w), key=lambda s: abs(1 - s))
+        nh = max(32, int(round(h * scale / 32)) * 32)
+        nw = max(32, int(round(w * scale / 32)) * 32)
+        from ..ops import resize as _resize
+        return np.asarray(_resize(jnp.asarray(x), (nh, nw), method='bicubic'))
+
+    def postprocess(self, pred: jnp.ndarray, imgs: np.ndarray) -> jnp.ndarray:
+        from ..ops import resize as _resize
+        return _resize(pred, imgs.shape[1:3], method='bicubic')
 
 
 @register('newcrfs')
@@ -181,7 +229,36 @@ class NewcrfsPredictor(MonoDepthPredictor):
             'tum': (480, 640),
         }[data_type]
 
-    def load_model(self, scene_type: str):
-        raise NotImplementedError(
-            'NeWCRFs baselines require the released model_nyu/model_kittieigen '
-            'checkpoints under a model root; none found.')
+    def load_model(self, scene_type: str) -> Callable:
+        """Build the native `NewCRFDepth` and graft the released checkpoint
+        (`model_nyu.ckpt` / `model_kittieigen.ckpt`, ref
+        `src/external_libs/newcrfs/tools.py:14-48`)."""
+        from ..models.import_newcrfs import convert_newcrfs, load_newcrfs_state_dict
+        from ..models.newcrfs import NewCRFDepth
+        from ..paths import MODEL_PATHS
+
+        if scene_type not in ('indoor', 'outdoor'):
+            raise ValueError(f'Invalid NeWCRFs model "{scene_type}". '
+                             "({'indoor', 'outdoor'})")
+        max_depth = 10.0 if scene_type == 'indoor' else 80.0
+
+        from ..paths import MODEL_ROOTS
+        name = 'model_nyu' if scene_type == 'indoor' else 'model_kittieigen'
+        path = next((root / 'newcrfs' / f'{name}.npz' for root in MODEL_ROOTS
+                     if (root / 'newcrfs' / f'{name}.npz').is_file()), None)
+        if path is None:
+            path = MODEL_PATHS[f'newcrfs_{scene_type}']
+        self.logger.info(f"Loading NeWCRFs weights from '{path}'...")
+        variables = convert_newcrfs(load_newcrfs_state_dict(path))
+        net = NewCRFDepth(version='large07', max_depth=max_depth)
+
+        @jax.jit
+        def fwd(imgs):
+            return net.apply(variables, imgs, train=False)
+
+        return fwd
+
+    def postprocess(self, pred: jnp.ndarray, imgs: np.ndarray) -> jnp.ndarray:
+        """NeWCRFs predicts metric depth; convert to disparity (ref `:242-249`)."""
+        from ..ops import to_inv
+        return to_inv(pred)

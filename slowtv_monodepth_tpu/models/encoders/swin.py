@@ -56,14 +56,19 @@ def _relative_position_index(w: int) -> np.ndarray:
 
 
 def _shift_mask(h: int, w: int, win: int, shift: int) -> np.ndarray:
-    """Attention mask for shifted windows: (nw, win*win, win*win) additive."""
-    img = np.zeros((1, h, w, 1), np.float32)
+    """Attention mask for shifted windows: (nw, win*win, win*win) additive.
+
+    Pure numpy (trace-time constant): jnp ops here would become tracers
+    under jit and break the host-side window partition.
+    """
+    img = np.zeros((h, w), np.float32)
     cnt = 0
     for hs in (slice(0, -win), slice(-win, -shift), slice(-shift, None)):
         for ws in (slice(0, -win), slice(-win, -shift), slice(-shift, None)):
-            img[:, hs, ws, :] = cnt
+            img[hs, ws] = cnt
             cnt += 1
-    wins = np.asarray(_window_partition(jnp.asarray(img), win))[..., 0]  # (nw, win*win)
+    wins = img.reshape(h // win, win, w // win, win)
+    wins = wins.transpose(0, 2, 1, 3).reshape(-1, win * win)  # (nw, win*win)
     mask = wins[:, None, :] - wins[:, :, None]
     return np.where(mask != 0, -100.0, 0.0).astype(np.float32)
 
@@ -104,28 +109,37 @@ class _SwinBlock(nn.Module):
     heads: int
     window: int
     shift: int
+    # 'timm' clamps the window to the input and disables shift when a single
+    # window covers it; 'mmseg' (NeWCRFs' vendored Swin) keeps the configured
+    # window/shift and relies on padding + the attention mask.
+    style: str = 'timm'
 
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
-        win = min(self.window, h, w)
-        shift = self.shift if win < min(h, w) else 0
+        if self.style == 'timm':
+            win = min(self.window, h, w)
+            shift = self.shift if win < min(h, w) else 0
+        else:
+            win, shift = self.window, self.shift
 
         y = nn.LayerNorm(epsilon=1e-5, name='norm1')(x)
-        if shift:
-            y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
-        # Pad to window multiples (timm pads, then crops after reverse).
+        # Pad to window multiples BEFORE the cyclic shift (both timm and
+        # mmseg pad first; the order matters for non-multiple inputs).
         ph = (win - h % win) % win
         pw = (win - w % win) % win
         if ph or pw:
             y = jnp.pad(y, ((0, 0), (0, ph), (0, pw), (0, 0)))
         hp, wp = h + ph, w + pw
+        if shift:
+            y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
         wins = _window_partition(y, win)
         mask = jnp.asarray(_shift_mask(hp, wp, win, shift)) if shift else None
         wins = _WindowAttention(self.dim, self.heads, win, name='attn')(wins, mask)
-        y = _window_reverse(wins, win, hp, wp)[:, :h, :w]
+        y = _window_reverse(wins, win, hp, wp)
         if shift:
             y = jnp.roll(y, (shift, shift), axis=(1, 2))
+        y = y[:, :h, :w]
         x = x + y
 
         y = nn.LayerNorm(epsilon=1e-5, name='norm2')(x)
@@ -143,6 +157,8 @@ class SwinEncoder(nn.Module):
     heads: Sequence[int] = (6, 12, 24, 48)
     window: int = 12
     in_chans: int = 3
+    out_norms: bool = False  # Per-stage output LayerNorms (mmseg-Swin style).
+    style: str = 'timm'      # Block shift semantics; see `_SwinBlock.style`.
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> list:
@@ -168,6 +184,7 @@ class SwinEncoder(nn.Module):
             for i in range(depth):
                 shift = 0 if i % 2 == 0 else self.window // 2
                 x = _SwinBlock(dim, heads, self.window, shift,
-                               name=f'stage{s}_block{i}')(x)
-            feats.append(x)
+                               style=self.style, name=f'stage{s}_block{i}')(x)
+            feats.append(nn.LayerNorm(epsilon=1e-5, name=f'out_norm{s}')(x)
+                         if self.out_norms else x)
         return feats

@@ -78,3 +78,63 @@ def import_reference():
         return src
     except Exception:
         return None
+
+
+def import_reference_newcrfs():
+    """Make the reference's vendored NeWCRFs torch model importable.
+
+    Adds eval-mode-faithful shims for its two extra deps: `timm.models.layers`
+    (DropPath/to_2tuple/trunc_normal_) and `mmcv.cnn.ConvModule` (conv -> BN/GN
+    -> ReLU with mmcv's auto-bias and 'bn'/'gn' attribute naming). Returns the
+    `NewCRFDepth` class or None.
+    """
+    if import_reference() is None:
+        return None
+    import torch
+    import torch.nn as nn
+
+    class DropPath(nn.Module):  # Identity in eval (we only compare eval mode).
+        def __init__(self, drop_prob=None):
+            super().__init__()
+
+        def forward(self, x):
+            return x
+
+    def to_2tuple(v):
+        return v if isinstance(v, tuple) else (v, v)
+
+    _stub('timm.models')
+    _stub('timm.models.layers', DropPath=DropPath, to_2tuple=to_2tuple,
+          trunc_normal_=torch.nn.init.trunc_normal_)
+
+    class ConvModule(nn.Module):
+        def __init__(self, in_ch, out_ch, k, padding=0, conv_cfg=None,
+                     norm_cfg=None, act_cfg=dict(type='ReLU'), **kw):
+            super().__init__()
+            self.conv = nn.Conv2d(in_ch, out_ch, k, padding=padding,
+                                  bias=norm_cfg is None)
+            self._norm = None
+            if norm_cfg and norm_cfg['type'] == 'BN':
+                self.bn = nn.BatchNorm2d(out_ch)
+                self._norm = 'bn'
+            elif norm_cfg and norm_cfg['type'] == 'GN':
+                self.gn = nn.GroupNorm(min(norm_cfg['num_groups'], out_ch), out_ch)
+                self._norm = 'gn'
+            self._act = act_cfg is not None
+
+        def forward(self, x):
+            x = self.conv(x)
+            if self._norm:
+                x = getattr(self, self._norm)(x)
+            return nn.functional.relu(x) if self._act else x
+
+    _stub('mmcv')
+    _stub('mmcv.cnn', ConvModule=ConvModule)
+    _stub('torchvision.transforms', Compose=object)
+
+    try:
+        from src.external_libs.newcrfs.newcrfs.networks.NewCRFDepth import \
+            NewCRFDepth
+        return NewCRFDepth
+    except Exception:
+        return None
