@@ -12,12 +12,16 @@ from .convnext import ConvNeXtEncoder, CONVNEXT_SPECS
 from .vit import ViTEncoder, VIT_SPECS
 from .swin import SwinEncoder, SWIN_SPECS
 from .beit import BeitEncoder, BEIT_SPECS
+from .mbnet import MBNetEncoder, MBNET_SPECS
+from .hrnet import HRNetEncoder, HRNET_SPECS
 
 __all__ = ['create_encoder', 'ENCODER_SPECS', 'ResNetEncoder', 'ConvNeXtEncoder',
-           'ViTEncoder', 'SwinEncoder', 'BeitEncoder',
-           'RESNET_SPECS', 'CONVNEXT_SPECS', 'VIT_SPECS', 'SWIN_SPECS', 'BEIT_SPECS']
+           'ViTEncoder', 'SwinEncoder', 'BeitEncoder', 'MBNetEncoder',
+           'HRNetEncoder', 'RESNET_SPECS', 'CONVNEXT_SPECS', 'VIT_SPECS',
+           'SWIN_SPECS', 'BEIT_SPECS', 'MBNET_SPECS', 'HRNET_SPECS']
 
-ENCODER_SPECS = {**RESNET_SPECS, **CONVNEXT_SPECS, **VIT_SPECS, **SWIN_SPECS, **BEIT_SPECS}
+ENCODER_SPECS = {**RESNET_SPECS, **CONVNEXT_SPECS, **VIT_SPECS, **SWIN_SPECS,
+                 **BEIT_SPECS, **MBNET_SPECS, **HRNET_SPECS}
 
 
 def create_encoder(name: str, in_chans: int = 3):
@@ -27,10 +31,20 @@ def create_encoder(name: str, in_chans: int = 3):
     """
     if name in RESNET_SPECS:
         spec = RESNET_SPECS[name]
-        enc = ResNetEncoder(block=spec['block'], layers=spec['layers'], in_chans=in_chans)
+        enc = ResNetEncoder(block=spec['block'], layers=spec['layers'],
+                            groups=spec.get('groups', 1),
+                            width_per_group=spec.get('width_per_group', 64),
+                            in_chans=in_chans)
     elif name in CONVNEXT_SPECS:
         spec = CONVNEXT_SPECS[name]
         enc = ConvNeXtEncoder(depths=spec['depths'], dims=spec['dims'], in_chans=in_chans)
+    elif name in MBNET_SPECS:
+        spec = MBNET_SPECS[name]
+        enc = MBNetEncoder(stem=spec['stem'], stages=spec['stages'],
+                           stem_act=spec['stem_act'], in_chans=in_chans)
+    elif name in HRNET_SPECS:
+        spec = HRNET_SPECS[name]
+        enc = HRNetEncoder(width=spec['width'], in_chans=in_chans)
     elif name.removeprefix('dpt_') in SWIN_SPECS:
         spec = SWIN_SPECS[name.removeprefix('dpt_')]
         enc = SwinEncoder(embed_dim=spec['embed_dim'], depths=spec['depths'],

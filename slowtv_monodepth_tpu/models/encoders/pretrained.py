@@ -24,7 +24,10 @@ import numpy as np
 from ...paths import MODEL_ROOTS
 from ...utils import get_logger
 from .convnext import CONVNEXT_SPECS
-from .import_torch import convert_convnext, convert_resnet, load_state_dict_file
+from .hrnet import HRNET_SPECS
+from .import_torch import (convert_convnext, convert_hrnet, convert_mbnet,
+                           convert_resnet, load_state_dict_file)
+from .mbnet import MBNET_SPECS
 from .resnet import RESNET_SPECS
 
 __all__ = ['load_pretrained_encoder', 'find_weights_file']
@@ -63,17 +66,29 @@ def load_pretrained_encoder(variables: dict, enc_name: str,
     LOGGER.info(f'Loading pretrained encoder weights from {file}...')
     sd = load_state_dict_file(file)
 
+    def graft(params, stats=None):
+        nonlocal variables
+        variables = dict(variables)
+        variables['params'] = dict(variables['params'])
+        variables['params']['encoder'] = _as_jnp(params)
+        if stats is not None:
+            bs = dict(variables.get('batch_stats', {}))
+            bs['encoder'] = _as_jnp(stats)
+            variables['batch_stats'] = bs
+
     if enc_name in RESNET_SPECS:
         spec = RESNET_SPECS[enc_name]
         block = 'basic' if spec['block'] == 'basic' else 'bottleneck'
         params, stats = convert_resnet(sd, spec['layers'], block=block,
                                        in_chans=in_chans)
-        variables = dict(variables)
-        variables['params'] = dict(variables['params'])
-        variables['params']['encoder'] = _as_jnp(params)
-        bs = dict(variables.get('batch_stats', {}))
-        bs['encoder'] = _as_jnp(stats)
-        variables['batch_stats'] = bs
+        graft(params, stats)
+    elif enc_name in MBNET_SPECS:
+        params, stats = convert_mbnet(sd, MBNET_SPECS[enc_name]['stages'],
+                                      in_chans=in_chans)
+        graft(params, stats)
+    elif enc_name in HRNET_SPECS:
+        params, stats = convert_hrnet(sd, in_chans=in_chans)
+        graft(params, stats)
     elif enc_name in CONVNEXT_SPECS:
         spec = CONVNEXT_SPECS[enc_name]
         params = convert_convnext(sd, spec['depths'], in_chans=in_chans)

@@ -25,7 +25,16 @@ RESNET_SPECS = {
                      channels=(64, 256, 512, 1024, 2048), reductions=(2, 4, 8, 16, 32)),
     'resnet101': dict(block='bottleneck', layers=(3, 4, 23, 3),
                       channels=(64, 256, 512, 1024, 2048), reductions=(2, 4, 8, 16, 32)),
+    # ResNeXt: grouped bottleneck convs (abl_pretrained backbones; the
+    # ssl/swsl variants are the same architecture with different pretrained
+    # weights, ref `cfg/abl_pretrained/resnext101_pt_{ssl,swsl}.yaml`).
+    'resnext101_32x8d': dict(block='bottleneck', layers=(3, 4, 23, 3),
+                             groups=32, width_per_group=8,
+                             channels=(64, 256, 512, 1024, 2048),
+                             reductions=(2, 4, 8, 16, 32)),
 }
+RESNET_SPECS['ssl_resnext101_32x8d'] = RESNET_SPECS['resnext101_32x8d']
+RESNET_SPECS['swsl_resnext101_32x8d'] = RESNET_SPECS['resnext101_32x8d']
 
 
 class BasicBlock(nn.Module):
@@ -56,16 +65,20 @@ class Bottleneck(nn.Module):
     stride: int = 1
     downsample: bool = False
     expansion: int = 4
+    groups: int = 1           # >1 with `base_width`: ResNeXt grouped conv.
+    base_width: int = 64
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         norm = lambda name: nn.BatchNorm(use_running_average=not train,  # noqa: E731
                                          momentum=0.9, epsilon=1e-5, name=name)
+        width = int(self.planes * self.base_width / 64) * self.groups
         identity = x
-        out = nn.Conv(self.planes, (1, 1), use_bias=False, name='conv1')(x)
+        out = nn.Conv(width, (1, 1), use_bias=False, name='conv1')(x)
         out = nn.relu(norm('bn1')(out))
-        out = nn.Conv(self.planes, (3, 3), (self.stride, self.stride), padding=1,
-                      use_bias=False, name='conv2')(out)
+        out = nn.Conv(width, (3, 3), (self.stride, self.stride), padding=1,
+                      feature_group_count=self.groups, use_bias=False,
+                      name='conv2')(out)
         out = nn.relu(norm('bn2')(out))
         out = nn.Conv(self.planes * self.expansion, (1, 1), use_bias=False, name='conv3')(out)
         out = norm('bn3')(out)
@@ -87,6 +100,8 @@ class ResNetEncoder(nn.Module):
     block: str = 'basic'
     layers: Sequence[int] = (2, 2, 2, 2)
     in_chans: int = 3
+    groups: int = 1
+    width_per_group: int = 64
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> list[jnp.ndarray]:
@@ -100,7 +115,6 @@ class ResNetEncoder(nn.Module):
 
         x = nn.max_pool(x, (3, 3), (2, 2), padding=((1, 1), (1, 1)))
 
-        blk = BasicBlock if self.block == 'basic' else Bottleneck
         expansion = 1 if self.block == 'basic' else 4
         planes = 64
         in_ch = 64
@@ -109,7 +123,13 @@ class ResNetEncoder(nn.Module):
             for i in range(n_blocks):
                 s = stride if i == 0 else 1
                 need_ds = (i == 0) and (s != 1 or in_ch != planes * expansion)
-                x = blk(planes, s, need_ds, name=f'layer{stage + 1}_{i}')(x, train=train)
+                if self.block == 'basic':
+                    blk = BasicBlock(planes, s, need_ds, name=f'layer{stage + 1}_{i}')
+                else:
+                    blk = Bottleneck(planes, s, need_ds, groups=self.groups,
+                                     base_width=self.width_per_group,
+                                     name=f'layer{stage + 1}_{i}')
+                x = blk(x, train=train)
                 in_ch = planes * expansion
             feats.append(x)
             planes *= 2
