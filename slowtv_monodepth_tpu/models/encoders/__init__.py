@@ -49,7 +49,7 @@ def create_encoder(name: str, in_chans: int = 3):
         spec = SWIN_SPECS[name.removeprefix('dpt_')]
         enc = SwinEncoder(embed_dim=spec['embed_dim'], depths=spec['depths'],
                           heads=spec['heads'], window=spec['window'],
-                          in_chans=in_chans)
+                          v2=spec.get('v2', False), in_chans=in_chans)
     elif name.removeprefix('dpt_') in BEIT_SPECS:
         spec = BEIT_SPECS[name.removeprefix('dpt_')]
         enc = BeitEncoder(dim=spec['dim'], depth=spec['depth'], heads=spec['heads'],
@@ -61,7 +61,7 @@ def create_encoder(name: str, in_chans: int = 3):
         spec = VIT_SPECS[name.removeprefix('dpt_')]
         enc = ViTEncoder(dim=spec['dim'], depth=spec['depth'], heads=spec['heads'],
                          hooks=spec['hooks'], channels=spec['channels'],
-                         in_chans=in_chans)
+                         hybrid=spec.get('hybrid', False), in_chans=in_chans)
     else:
         raise KeyError(f'Unknown encoder "{name}". Available: {sorted(ENCODER_SPECS)}')
     return enc, list(spec['channels']), list(spec['reductions'])

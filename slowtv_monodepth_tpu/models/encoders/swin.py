@@ -27,6 +27,17 @@ SWIN_SPECS = {
     'swint7_224': dict(embed_dim=96, depths=(2, 2, 6, 2), heads=(3, 6, 12, 24),
                        window=7, channels=(96, 192, 384, 768),
                        reductions=(4, 8, 16, 32)),
+    # SwinV2 (MiDaS 3.1 backbones, ref `api/quickstart/networks/backbones/
+    # dpt.py:37-39`): cosine attention + log-CPB bias + post-norm residuals.
+    'swin2l24_384': dict(embed_dim=192, depths=(2, 2, 18, 2), heads=(6, 12, 24, 48),
+                         window=24, channels=(192, 384, 768, 1536),
+                         reductions=(4, 8, 16, 32), v2=True),
+    'swin2b24_384': dict(embed_dim=128, depths=(2, 2, 18, 2), heads=(4, 8, 16, 32),
+                         window=24, channels=(128, 256, 512, 1024),
+                         reductions=(4, 8, 16, 32), v2=True),
+    'swin2t16_256': dict(embed_dim=96, depths=(2, 2, 6, 2), heads=(3, 6, 12, 24),
+                         window=16, channels=(96, 192, 384, 768),
+                         reductions=(4, 8, 16, 32), v2=True),
 }
 
 
@@ -104,6 +115,60 @@ class _WindowAttention(nn.Module):
         return nn.Dense(self.dim, name='proj')(out)
 
 
+def _log_cpb_table(w: int) -> np.ndarray:
+    """SwinV2 log-spaced continuous relative coords table: (2w-1, 2w-1, 2)."""
+    rel = np.stack(np.meshgrid(np.arange(-(w - 1), w, dtype=np.float32),
+                               np.arange(-(w - 1), w, dtype=np.float32),
+                               indexing='ij'), axis=-1)
+    rel = rel / max(w - 1, 1) * 8.0
+    table = np.sign(rel) * np.log2(1.0 + np.abs(rel)) / np.log2(8.0)
+    return table.astype(np.float32)
+
+
+class _WindowAttentionV2(nn.Module):
+    """SwinV2 windowed attention: cosine similarity with learned per-head
+    temperature and a log-CPB MLP relative bias; q/v biased, k unbiased."""
+    dim: int
+    heads: int
+    window: int
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        bnw, n, c = x.shape
+        head_dim = self.dim // self.heads
+
+        qkv_w = self.param('qkv_kernel', nn.initializers.lecun_normal(),
+                           (c, self.dim * 3))
+        q_bias = self.param('q_bias', nn.initializers.zeros, (self.dim,))
+        v_bias = self.param('v_bias', nn.initializers.zeros, (self.dim,))
+        bias = jnp.concatenate([q_bias, jnp.zeros_like(q_bias), v_bias])
+        qkv = (x @ qkv_w + bias).reshape(bnw, n, 3, self.heads, head_dim)
+        q, k, v = qkv.transpose(2, 0, 3, 1, 4)
+
+        q = q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + 1e-12)
+        k = k / (jnp.linalg.norm(k, axis=-1, keepdims=True) + 1e-12)
+        logit_scale = self.param('logit_scale',
+                                 nn.initializers.constant(np.log(10.0)),
+                                 (self.heads, 1, 1))
+        scale = jnp.exp(jnp.clip(logit_scale, None, np.log(100.0)))
+        attn = (q @ k.transpose(0, 1, 3, 2)) * scale[None]
+
+        table = jnp.asarray(_log_cpb_table(self.window)).reshape(-1, 2)
+        h = nn.Dense(512, name='cpb_fc1')(table)
+        h = nn.Dense(self.heads, use_bias=False, name='cpb_fc2')(nn.relu(h))
+        idx = _relative_position_index(self.window)
+        rel = 16.0 * nn.sigmoid(h)[idx.reshape(-1)]
+        attn = attn + rel.reshape(n, n, self.heads).transpose(2, 0, 1)[None]
+
+        if mask is not None:
+            nw = mask.shape[0]
+            attn = attn.reshape(bnw // nw, nw, self.heads, n, n) + mask[None, :, None]
+            attn = attn.reshape(bnw, self.heads, n, n)
+        attn = nn.softmax(attn, axis=-1)
+        out = (attn @ v).transpose(0, 2, 1, 3).reshape(bnw, n, self.dim)
+        return nn.Dense(self.dim, name='proj')(out)
+
+
 class _SwinBlock(nn.Module):
     dim: int
     heads: int
@@ -113,6 +178,7 @@ class _SwinBlock(nn.Module):
     # window covers it; 'mmseg' (NeWCRFs' vendored Swin) keeps the configured
     # window/shift and relies on padding + the attention mask.
     style: str = 'timm'
+    v2: bool = False  # SwinV2: cosine attention + log-CPB bias + post-norm.
 
     @nn.compact
     def __call__(self, x):
@@ -123,7 +189,8 @@ class _SwinBlock(nn.Module):
         else:
             win, shift = self.window, self.shift
 
-        y = nn.LayerNorm(epsilon=1e-5, name='norm1')(x)
+        # V1 pre-norms; V2 norms the attention OUTPUT (post-norm residual).
+        y = x if self.v2 else nn.LayerNorm(epsilon=1e-5, name='norm1')(x)
         # Pad to window multiples BEFORE the cyclic shift (both timm and
         # mmseg pad first; the order matters for non-multiple inputs).
         ph = (win - h % win) % win
@@ -135,17 +202,22 @@ class _SwinBlock(nn.Module):
             y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
         wins = _window_partition(y, win)
         mask = jnp.asarray(_shift_mask(hp, wp, win, shift)) if shift else None
-        wins = _WindowAttention(self.dim, self.heads, win, name='attn')(wins, mask)
+        attn_cls = _WindowAttentionV2 if self.v2 else _WindowAttention
+        wins = attn_cls(self.dim, self.heads, win, name='attn')(wins, mask)
         y = _window_reverse(wins, win, hp, wp)
         if shift:
             y = jnp.roll(y, (shift, shift), axis=(1, 2))
         y = y[:, :h, :w]
+        if self.v2:
+            y = nn.LayerNorm(epsilon=1e-5, name='norm1')(y)
         x = x + y
 
-        y = nn.LayerNorm(epsilon=1e-5, name='norm2')(x)
+        y = x if self.v2 else nn.LayerNorm(epsilon=1e-5, name='norm2')(x)
         y = nn.Dense(4 * self.dim, name='fc1')(y)
         y = nn.gelu(y)
         y = nn.Dense(self.dim, name='fc2')(y)
+        if self.v2:
+            y = nn.LayerNorm(epsilon=1e-5, name='norm2')(y)
         return x + y
 
 
@@ -159,6 +231,7 @@ class SwinEncoder(nn.Module):
     in_chans: int = 3
     out_norms: bool = False  # Per-stage output LayerNorms (mmseg-Swin style).
     style: str = 'timm'      # Block shift semantics; see `_SwinBlock.style`.
+    v2: bool = False         # SwinV2 blocks + post-merge norm ordering.
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> list:
@@ -178,13 +251,18 @@ class SwinEncoder(nn.Module):
                     b_, hh, ww, c = x.shape
                 x = x.reshape(b_, hh // 2, 2, ww // 2, 2, c)
                 x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b_, hh // 2, ww // 2, 4 * c)
-                x = nn.LayerNorm(epsilon=1e-5, name=f'merge{s}_norm')(x)
-                x = nn.Dense(2 * c, use_bias=False, name=f'merge{s}_reduce')(x)
+                if self.v2:  # V2 swaps: reduce THEN norm (post-norm).
+                    x = nn.Dense(2 * c, use_bias=False, name=f'merge{s}_reduce')(x)
+                    x = nn.LayerNorm(epsilon=1e-5, name=f'merge{s}_norm')(x)
+                else:
+                    x = nn.LayerNorm(epsilon=1e-5, name=f'merge{s}_norm')(x)
+                    x = nn.Dense(2 * c, use_bias=False, name=f'merge{s}_reduce')(x)
                 dim *= 2
             for i in range(depth):
                 shift = 0 if i % 2 == 0 else self.window // 2
                 x = _SwinBlock(dim, heads, self.window, shift,
-                               style=self.style, name=f'stage{s}_block{i}')(x)
+                               style=self.style, v2=self.v2,
+                               name=f'stage{s}_block{i}')(x)
             feats.append(nn.LayerNorm(epsilon=1e-5, name=f'out_norm{s}')(x)
                          if self.out_norms else x)
         return feats

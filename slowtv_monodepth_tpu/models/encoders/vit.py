@@ -26,6 +26,12 @@ VIT_SPECS = {
                        channels=(96, 192, 384, 768), reductions=(4, 8, 16, 32)),
     'vitl16_384': dict(dim=1024, depth=24, heads=16, hooks=(5, 11, 17, 23),
                        channels=(256, 512, 1024, 1024), reductions=(4, 8, 16, 32)),
+    # Hybrid R50+ViT-B (MiDaS `vitb_rn50_384`, ref `api/quickstart/networks/
+    # backbones/dpt.py:43`): ResNetV2 stages supply the stride-4/8 pyramid
+    # levels; transformer hooks 8/11 supply stride 16/32.
+    'vitb_rn50_384': dict(dim=768, depth=12, heads=12, hooks=(8, 11),
+                          channels=(256, 512, 768, 768),
+                          reductions=(4, 8, 16, 32), hybrid=True),
 }
 
 
@@ -95,6 +101,72 @@ class _Reassemble(nn.Module):
         return x
 
 
+class _StdConv(nn.Module):
+    """Weight-standardized conv (timm `StdConv2dSame`): per-output-channel
+    (w - mean) / sqrt(var + 1e-6), TF-SAME padding, no bias (GN follows)."""
+    features: int
+    kernel: int
+    strides: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        kh = kw = self.kernel
+        w = self.param('kernel', nn.initializers.lecun_normal(),
+                       (kh, kw, x.shape[-1], self.features))
+        mu = w.mean(axis=(0, 1, 2), keepdims=True)
+        var = w.var(axis=(0, 1, 2), keepdims=True)
+        w = (w - mu) * jax.lax.rsqrt(var + 1e-6)
+        return jax.lax.conv_general_dilated(
+            x, w, (self.strides, self.strides), 'SAME',
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+
+
+class _V2Bottleneck(nn.Module):
+    """ResNetV2 (non-preact) bottleneck: StdConv + GroupNorm(32) + ReLU."""
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        gn = lambda name: nn.GroupNorm(num_groups=32, epsilon=1e-5, name=name)  # noqa: E731
+        identity = x
+        y = nn.relu(gn('norm1')(_StdConv(self.planes, 1, name='conv1')(x)))
+        y = nn.relu(gn('norm2')(_StdConv(self.planes, 3, self.stride,
+                                         name='conv2')(y)))
+        y = gn('norm3')(_StdConv(self.planes * 4, 1, name='conv3')(y))
+        if self.downsample:
+            identity = gn('downsample_norm')(
+                _StdConv(self.planes * 4, 1, self.stride,
+                         name='downsample_conv')(x))
+        return nn.relu(y + identity)
+
+
+class _ResNetV2Stem(nn.Module):
+    """ResNetV2 stages (3, 4, 9) of the hybrid ViT: returns the stride-4 and
+    stride-8 pyramid features plus the stride-16 trunk output."""
+    layers: tuple = (3, 4, 9)
+
+    @nn.compact
+    def __call__(self, x):
+        x = _StdConv(64, 7, 2, name='stem_conv')(x)
+        x = nn.relu(nn.GroupNorm(num_groups=32, epsilon=1e-5, name='stem_norm')(x))
+        x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)), 'constant',
+                    constant_values=-jnp.inf)  # TF-SAME maxpool for even dims.
+        x = nn.max_pool(x, (3, 3), (2, 2), padding='VALID')
+
+        feats = []
+        planes = 64
+        for s, depth in enumerate(self.layers):
+            for i in range(depth):
+                stride = 2 if (s > 0 and i == 0) else 1
+                x = _V2Bottleneck(planes, stride, downsample=(i == 0),
+                                  name=f'stage{s}_block{i}')(x)
+            feats.append(x)
+            planes *= 2
+        return feats  # [256@4, 512@8, 1024@16]
+
+
 class ViTEncoder(nn.Module):
     """:param dim/depth/heads: Trunk size.
     :param hooks: Block indices producing the 4 pyramid features.
@@ -111,6 +183,7 @@ class ViTEncoder(nn.Module):
     patch: int = 16
     in_chans: int = 3
     pos_grid: int = 24  # Stored pos-embed grid (384 / 16).
+    hybrid: bool = False  # R50+ViT: ResNetV2 stem supplies strides 4/8.
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> list:
@@ -119,9 +192,14 @@ class ViTEncoder(nn.Module):
             raise ValueError(f'Input must be a multiple of {self.patch}. ({h}x{w})')
         gh, gw = h // self.patch, w // self.patch
 
-        # Patch embedding.
-        x = nn.Conv(self.dim, (self.patch, self.patch),
-                    strides=(self.patch, self.patch), name='patch_embed')(x)
+        # Patch embedding: direct conv, or ResNetV2 trunk + 1x1 (hybrid).
+        rn_feats = None
+        if self.hybrid:
+            rn_feats = _ResNetV2Stem(name='backbone')(x)
+            x = nn.Conv(self.dim, (1, 1), name='patch_embed')(rn_feats[-1])
+        else:
+            x = nn.Conv(self.dim, (self.patch, self.patch),
+                        strides=(self.patch, self.patch), name='patch_embed')(x)
         x = x.reshape(b, gh * gw, self.dim)
 
         cls = self.param('cls_token', nn.initializers.zeros, (1, 1, self.dim))
@@ -141,6 +219,16 @@ class ViTEncoder(nn.Module):
             x = _Block(self.dim, self.heads, name=f'block{i}')(x)
             if i in hook_set:
                 feats.append(x)
+
+        if self.hybrid:
+            # Strides 4/8 come straight from the ResNetV2 stages; hooks give
+            # strides 16/32 (MiDaS `_make_vit_b_rn50_backbone`).
+            out = list(rn_feats[:2])
+            for s, f in enumerate(feats, start=2):
+                f = _Readout(self.dim, self.readout, name=f'readout{s}')(f)
+                out.append(_Reassemble(self.channels[s], s,
+                                       name=f'reassemble{s}')(f, gh, gw))
+            return out
 
         out = []
         for s, (f, ch) in enumerate(zip(feats, self.channels)):

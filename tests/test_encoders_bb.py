@@ -301,3 +301,68 @@ class TestHRNet:
         x = jnp.zeros((1, 64, 96, 3))
         out = net.apply(net.init(jax.random.PRNGKey(0), x), x, train=False)
         assert out['disp'][0].shape == (1, 64, 96, 1)
+
+
+class TestDptBackboneMatrix:
+    """SwinV2 + hybrid R50-ViT complete the reference's quickstart DPT
+    backbone matrix (`api/quickstart/networks/backbones/dpt.py:33-45`)."""
+
+    def test_stdconv_vs_torch(self):
+        """_StdConv == torch weight-standardized conv (timm StdConv2d)."""
+        from slowtv_monodepth_tpu.models.encoders.vit import _StdConv
+        torch.manual_seed(5)
+        w = torch.randn(8, 5, 3, 3)
+        x = torch.randn(1, 5, 8, 12)
+        wn = torch.nn.functional.batch_norm(
+            w.reshape(1, 8, -1), None, None, None, None,
+            training=True, momentum=0., eps=1e-6).reshape_as(w)
+        want = torch.nn.functional.conv2d(x, wn, padding=1)
+
+        m = _StdConv(8, 3)
+        kern = jnp.asarray(w.numpy().transpose(2, 3, 1, 0))
+        got = m.apply({'params': {'kernel': kern}},
+                      jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
+        np.testing.assert_allclose(np.asarray(got), _nhwc(want),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_swinv2_attention_math(self):
+        """Cosine attention + log-CPB bias vs an independent torch spelling
+        of the SwinV2 definition, sharing parameters."""
+        from slowtv_monodepth_tpu.models.encoders.swin import (
+            _WindowAttentionV2, _log_cpb_table, _relative_position_index)
+
+        dim, heads, win = 16, 4, 3
+        n = win * win
+        m = _WindowAttentionV2(dim, heads, win)
+        x = RNG.standard_normal((2, n, dim), dtype=np.float32)
+        params = m.init(jax.random.PRNGKey(0), jnp.asarray(x))['params']
+        got = m.apply({'params': params}, jnp.asarray(x))
+
+        p = jax.tree.map(lambda v: torch.from_numpy(np.asarray(v)), params)
+        xt = torch.from_numpy(x)
+        bias = torch.cat([p['q_bias'], torch.zeros(dim), p['v_bias']])
+        qkv = (xt @ p['qkv_kernel'] + bias).reshape(2, n, 3, heads, dim // heads)
+        q, k, v = qkv.permute(2, 0, 3, 1, 4)
+        q = torch.nn.functional.normalize(q, dim=-1)
+        k = torch.nn.functional.normalize(k, dim=-1)
+        scale = torch.clamp(p['logit_scale'], max=float(np.log(100.0))).exp()
+        attn = (q @ k.transpose(-2, -1)) * scale
+        table = torch.from_numpy(_log_cpb_table(win)).reshape(-1, 2)
+        h = torch.relu(table @ p['cpb_fc1']['kernel'] + p['cpb_fc1']['bias'])
+        rel = 16 * torch.sigmoid(h @ p['cpb_fc2']['kernel'])
+        idx = torch.from_numpy(_relative_position_index(win).reshape(-1)).long()
+        attn = attn + rel[idx].reshape(n, n, heads).permute(2, 0, 1)[None]
+        attn = attn.softmax(-1)
+        out = (attn @ v).transpose(1, 2).reshape(2, n, dim)
+        want = out @ p['proj']['kernel'] + p['proj']['bias']
+        np.testing.assert_allclose(np.asarray(got), want.numpy(),
+                                   rtol=1e-4, atol=1e-5)
+
+    @pytest.mark.parametrize('name', ['dpt_swin2t16_256', 'dpt_vitb_rn50_384'])
+    def test_depthnet_end_to_end(self, name):
+        from slowtv_monodepth_tpu.models import DepthNet
+        net = DepthNet(enc_name=name, pretrained=False, dec_name='dpt',
+                       out_scales=(0,))
+        x = jnp.zeros((1, 96, 128, 3))
+        out = net.apply(net.init(jax.random.PRNGKey(0), x), x, train=False)
+        assert out['disp'][0].shape == (1, 96, 128, 1)
