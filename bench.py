@@ -75,15 +75,20 @@ def main():
         x, y = shard_batch(mesh, (x, y))
     step = make_train_step(trainer, supp_idxs, tx, mesh=mesh, donate=True)
 
+    # IMPORTANT: fetch the loss to host every iteration. Over the axon TPU
+    # tunnel `jax.block_until_ready` returns without waiting for device
+    # execution (measured: "blocked" steps report ~7 ms while a host fetch
+    # shows ~400 ms of real device work), so only a device->host transfer
+    # gives an honest steady-state time.
     rngs = [jax.random.PRNGKey(100 + i) for i in range(WARMUP + ITERS)]
     for i in range(WARMUP):
         state, scalars = step(state, x, y, rngs[i])
-    jax.block_until_ready(scalars['loss'])
+    float(scalars['loss'])
 
     t0 = time.perf_counter()
     for i in range(ITERS):
         state, scalars = step(state, x, y, rngs[WARMUP + i])
-    jax.block_until_ready(scalars['loss'])
+        float(scalars['loss'])
     dt = time.perf_counter() - t0
 
     imgs_per_sec = B * ITERS / dt

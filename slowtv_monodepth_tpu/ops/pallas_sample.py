@@ -21,11 +21,16 @@ source axis). `grid_sample_fused` therefore transparently uses the XLA
 gather path on TPU today; the kernel + dispatch stay in place for a
 DMA-indexed rewrite once per-row descriptor DMA lands here.
 
-PERF NOTE (measured on v5e, KBR step b4 @384x640): differencing the full
-train step against a no-reconstruction step shows the warp+recon loss cost
-is within run-to-run noise (<~5% of step time) — the step is ConvNeXt
-fwd/bwd bound, so the XLA gather fallback is NOT a bottleneck at KBR sizes.
-The fused kernel matters only for warp-heavy inference pipelines.
+PERF NOTE (measured on v5e, KBR step b4 @384x640, HONEST host-fetch sync —
+`block_until_ready` is a no-op over the axon tunnel): the warp gathers are
+THE step bottleneck. The original 4-corner `take_along_axis` formulation
+cost ~645 ms of an ~860 ms step (TPU gathers are descriptor-rate bound,
+~20-27 ns/index); `ops/sample.py` now packs the 4 corners into the operand
+channel axis via edge-replicated shifts so ONE gather fetches the full 2x2
+neighborhood, cutting the step to ~434 ms. Per-pixel index count is already
+minimal; a Pallas kernel cannot beat the DMA descriptor rate for arbitrary
+random access while Mosaic's vector gather stays single-vreg, so the XLA
+packed gather is the production path.
 """
 from __future__ import annotations
 
