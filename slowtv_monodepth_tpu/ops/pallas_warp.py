@@ -1,0 +1,206 @@
+"""Pallas TPU kernel: bilinear border-mode warp (the photometric hot op).
+
+WHY: XLA lowers `grid_sample` to an HBM gather that is descriptor-rate bound
+(~17-27 ns per output pixel on v5e) — it dominated the KBR train step (222 of
+~430 ms even after packing the 4 corners into one gather; see
+`ops/sample.py`). Mosaic *can* do arbitrary per-element selection inside one
+(8, 128) vreg (a sublane gather composed with a lane gather), so this kernel
+keeps the whole source image resident in VMEM and resolves each output tile
+with vector gathers instead of DMA descriptors.
+
+DESIGN (exact for arbitrary warps, adaptive cost):
+- XLA side packs the two x-corners into channels (`[img, shift_x(img)]`,
+  edge-replicated), so the kernel samples ONE (x0, y) location per corner
+  row; the y0/y0+1 rows are two sublane gathers (+ a broadcast row for the
+  tile-boundary case).
+- The kernel grid is (batch, out_row_tiles, out_col_tiles). For each output
+  tile it reduces the tile's integer source coords to min/max bounds IN
+  KERNEL and runs a dynamic `fori_loop` over only the source (8, 128) tiles
+  that the warp actually touches — near-identity video warps visit ~1-6
+  source tiles per output tile, while the worst case degrades gracefully to
+  a full scan (still exact).
+- Outputs are channel-major (b, c, h, w) so every VMEM block is a clean
+  (8, 128) vreg tile (channel-minor blocks would pad 3 -> 128 lanes).
+- Besides the warped image the kernel emits d(out)/dx and d(out)/dy (the
+  corner differences), which make the grid VJP a pure elementwise product —
+  `ops.sample` wraps this in a `custom_vjp`.
+
+The source image must fit VMEM as packed f32 (h * w_pad * 2c * 4B <= ~12MB;
+true for every training/eval shape up to 384x1280 RGB). `ops/sample.py`
+falls back to the XLA gather path otherwise and on non-TPU backends.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+__all__ = ['warp_bilinear_pallas', 'pallas_warp_supported']
+
+_VMEM_IMG_BUDGET = 12 * 1024 * 1024
+
+
+def pallas_warp_supported(img_shape, backend: str) -> bool:
+    """Static dispatch check for `ops.sample.grid_sample`."""
+    b, h, w, c = img_shape
+    if backend != 'tpu':
+        return False
+    wp = -(-w // 128) * 128
+    hp = -(-h // 8) * 8
+    return hp * wp * 2 * c * 4 <= _VMEM_IMG_BUDGET
+
+
+def _kernel(img_ref, fx_ref, fy_ref, out_ref, ddx_ref, ddy_ref, *, c: int,
+            h: int, w: int):
+    """One (8, 128) output tile: adaptive scan of touched source tiles.
+
+    img_ref: (1, 2c, hp, wp) packed [img, shift_x(img)] channel-major.
+    fx/fy_ref: (1, 8, 128) continuous source coords (already border-clamped).
+    out/ddx/ddy_ref: (1, c, 8, 128).
+    """
+    fx = fx_ref[0]
+    fy = fy_ref[0]
+    x0f = jnp.floor(fx)
+    y0f = jnp.floor(fy)
+    wx = fx - x0f
+    wy = fy - y0f
+    x0 = x0f.astype(jnp.int32)  # in [0, w-1]
+    y0 = y0f.astype(jnp.int32)  # in [0, h-1]
+    # Border-clamped second row; keeps d(out)/dy == 0 at the bottom edge
+    # exactly like the XLA clamped-index formulation.
+    y1g = jnp.minimum(y0 + 1, h - 1)
+
+    # Touched source-tile ranges (inclusive), computed in-kernel.
+    rt0 = jnp.min(y0) // 8
+    rt1 = jnp.max(y0) // 8          # y0+1 handled via the boundary row.
+    ct0 = jnp.min(x0) // 128
+    ct1 = jnp.max(x0) // 128
+
+    hp = img_ref.shape[2]
+
+    def col_body(ct, acc):
+        cbase = ct * 128
+        lx = x0 - cbase
+        vx = (lx >= 0) & (lx < 128)
+        lxc = jnp.clip(lx, 0, 127)
+
+        def row_body(rt, acc):
+            rbase = rt * 8
+            ly = y0 - rbase
+            ly1 = y1g - rbase  # in [0, 8] for valid pixels.
+            vyx = vx & (ly >= 0) & (ly < 8)
+            # Tile just below, for y1 == rbase+8 (only reachable when that
+            # row exists, so the aligned clamp never selects a wrong row).
+            next_base = jnp.minimum(rbase + 8, hp - 8)
+            use_next = ly1 >= 8
+
+            outs, ddxs, ddys = acc
+            new_outs, new_ddxs, new_ddys = [], [], []
+            for ch in range(c):
+                vals = []
+                for corner in (0, 1):  # x0 (img) / x1 (shift_x) packing.
+                    a = img_ref[0, corner * c + ch,
+                                pl.ds(pl.multiple_of(rbase, 8), 8),
+                                pl.ds(pl.multiple_of(cbase, 128), 128)]
+                    brow = img_ref[0, corner * c + ch,
+                                   pl.ds(pl.multiple_of(next_base, 8), 1),
+                                   pl.ds(pl.multiple_of(cbase, 128), 128)]
+                    # Per-element 2D selection: lane-gather EVERY source
+                    # sublane at lx, then pick the sublane by ly. (A
+                    # sublane-then-lane gather chain is wrong for 2D
+                    # per-element indices: the second gather re-indexes the
+                    # first's output at a different lane.)
+                    vr = [jnp.take_along_axis(
+                        jnp.broadcast_to(a[r:r + 1], (8, 128)), lxc, axis=1)
+                        for r in range(8)]
+                    vb = jnp.take_along_axis(
+                        jnp.broadcast_to(brow, (8, 128)), lxc, axis=1)
+                    v0 = vr[0]
+                    v1 = vr[0]
+                    for r in range(1, 8):
+                        v0 = jnp.where(ly == r, vr[r], v0)
+                        v1 = jnp.where(ly1 == r, vr[r], v1)
+                    v1 = jnp.where(use_next, vb, v1)
+                    vals.append((v0, v1))
+                (v00, v10), (v01, v11) = vals
+                top = v00 * (1 - wx) + v01 * wx
+                bot = v10 * (1 - wx) + v11 * wx
+                px = top * (1 - wy) + bot * wy
+                dx = (v01 - v00) * (1 - wy) + (v11 - v10) * wy
+                dy = bot - top
+                new_outs.append(jnp.where(vyx, px, outs[ch]))
+                new_ddxs.append(jnp.where(vyx, dx, ddxs[ch]))
+                new_ddys.append(jnp.where(vyx, dy, ddys[ch]))
+            return (tuple(new_outs), tuple(new_ddxs), tuple(new_ddys))
+
+        return jax.lax.fori_loop(rt0, rt1 + 1, row_body, acc)
+
+    zero = jnp.zeros((8, 128), img_ref.dtype)
+    init = (tuple(zero for _ in range(c)),) * 3
+    outs, ddxs, ddys = jax.lax.fori_loop(ct0, ct1 + 1, col_body, init)
+    for ch in range(c):
+        out_ref[0, ch] = outs[ch]
+        ddx_ref[0, ch] = ddxs[ch]
+        ddy_ref[0, ch] = ddys[ch]
+
+
+def warp_bilinear_pallas(img: jnp.ndarray, fx: jnp.ndarray, fy: jnp.ndarray,
+                         interpret: bool | None = None):
+    """Bilinear border sample + spatial derivatives.
+
+    `interpret=None` auto-selects the Pallas interpreter off-TPU (CPU tests).
+
+    :param img: (b, h, w, c) source images.
+    :param fx/fy: (b, ho, wo) continuous pixel coords, ALREADY clamped to
+        [0, w-1] / [0, h-1] (border semantics).
+    :return: (out, ddx, ddy), each (b, ho, wo, c); ddx/ddy are the exact
+        bilinear partials w.r.t. the (unclamped-range) pixel coords.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != 'tpu'
+    return _warp_bilinear_jit(img, fx, fy, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=('interpret',))
+def _warp_bilinear_jit(img: jnp.ndarray, fx: jnp.ndarray, fy: jnp.ndarray,
+                       interpret: bool):
+    b, h, w, c = img.shape
+    ho, wo = fx.shape[1:3]
+    hp = -(-h // 8) * 8
+    wp = -(-w // 128) * 128
+    hop = -(-ho // 8) * 8
+    wop = -(-wo // 128) * 128
+
+    # Pack the two x-corners into channels (edge-replicated shift) and go
+    # channel-major so VMEM tiles are clean (8, 128) vregs.
+    sx = jnp.concatenate([img[:, :, 1:], img[:, :, -1:]], axis=2)
+    packed = jnp.concatenate([img, sx], axis=-1)          # (b, h, w, 2c)
+    packed = jnp.transpose(packed, (0, 3, 1, 2))          # (b, 2c, h, w)
+    packed = jnp.pad(packed, ((0, 0), (0, 0), (0, hp - h), (0, wp - w)))
+
+    fxp = jnp.pad(fx, ((0, 0), (0, hop - ho), (0, wop - wo)))
+    fyp = jnp.pad(fy, ((0, 0), (0, hop - ho), (0, wop - wo)))
+
+    kern = functools.partial(_kernel, c=c, h=h, w=w)
+    out, ddx, ddy = pl.pallas_call(
+        kern,
+        grid=(b, hop // 8, wop // 128),
+        in_specs=[
+            pl.BlockSpec((1, 2 * c, hp, wp), lambda bb, i, j: (bb, 0, 0, 0)),
+            pl.BlockSpec((1, 8, 128), lambda bb, i, j: (bb, i, j)),
+            pl.BlockSpec((1, 8, 128), lambda bb, i, j: (bb, i, j)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, c, 8, 128), lambda bb, i, j: (bb, 0, i, j)),
+            pl.BlockSpec((1, c, 8, 128), lambda bb, i, j: (bb, 0, i, j)),
+            pl.BlockSpec((1, c, 8, 128), lambda bb, i, j: (bb, 0, i, j)),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((b, c, hop, wop), img.dtype)] * 3,
+        interpret=interpret,
+    )(packed, fxp, fyp)
+
+    def unpack(t):
+        return jnp.transpose(t, (0, 2, 3, 1))[:, :ho, :wo]
+    return unpack(out), unpack(ddx), unpack(ddy)

@@ -85,6 +85,68 @@ def _gather_2d(img_flat: jnp.ndarray, ix: jnp.ndarray, iy: jnp.ndarray, w: int) 
     return jnp.take_along_axis(img_flat, idx[..., None], axis=1)
 
 
+@jax.custom_vjp
+def _warp_pallas_core(img, fx, fy):
+    from .pallas_warp import warp_bilinear_pallas
+    out, _, _ = warp_bilinear_pallas(img, fx, fy)
+    return out
+
+
+def _warp_pallas_fwd(img, fx, fy):
+    from .pallas_warp import warp_bilinear_pallas
+    out, ddx, ddy = warp_bilinear_pallas(img, fx, fy)
+    return out, (img, fx, fy, ddx, ddy)
+
+
+def _warp_pallas_bwd(res, g):
+    img, fx, fy, ddx, ddy = res
+    shape, dtype = img.shape, img.dtype
+    gfx = (g * ddx).sum(-1)
+    gfy = (g * ddy).sum(-1)
+    # Image cotangent via XLA scatter-add — only reachable from the feature/
+    # autoencoder reconstruction losses; XLA dead-code-eliminates it when the
+    # image is a constant (the photometric path).
+    b, h, w, c = shape
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    wx = (fx - x0)[..., None]
+    wy = (fy - y0)[..., None]
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    x1i = jnp.clip(x0i + 1, 0, w - 1)
+    y1i = jnp.clip(y0i + 1, 0, h - 1)
+    flat = jnp.zeros((b, h * w, c), dtype)
+    n = fx.shape[1] * fx.shape[2]
+    gf = g.reshape(b, n, c)
+    for yi, xi, ww in ((y0i, x0i, (1 - wx) * (1 - wy)),
+                      (y0i, x1i, wx * (1 - wy)),
+                      (y1i, x0i, (1 - wx) * wy),
+                      (y1i, x1i, wx * wy)):
+        idx = (yi * w + xi).reshape(b, n)
+        flat = flat.at[jnp.arange(b)[:, None], idx].add(
+            gf * ww.reshape(b, n, 1))
+    return flat.reshape(shape), gfx, gfy
+
+
+_warp_pallas_core.defvjp(_warp_pallas_fwd, _warp_pallas_bwd)
+
+
+def _use_pallas_warp(img_shape) -> bool:
+    import os
+    if os.environ.get('SLOWTV_DISABLE_PALLAS_WARP'):
+        return False
+    if img_shape[-1] > 8:  # Kernel unrolls channels; keep it image-sized.
+        return False
+    from .pallas_warp import pallas_warp_supported
+    if os.environ.get('SLOWTV_FORCE_PALLAS_WARP'):  # Tests (interpret mode).
+        return pallas_warp_supported(img_shape, 'tpu')
+    try:
+        backend = jax.default_backend()
+    except Exception:
+        return False
+    return pallas_warp_supported(img_shape, backend)
+
+
 def grid_sample(img: jnp.ndarray, grid: jnp.ndarray, padding_mode: str = 'border') -> jnp.ndarray:
     """Sample `img` (b, h, w, c) at `grid` (b, gh, gw, 2) locations.
 
@@ -92,11 +154,21 @@ def grid_sample(img: jnp.ndarray, grid: jnp.ndarray, padding_mode: str = 'border
     :param grid: (b, gh, gw, 2) Normalized sample coords in [-1, 1] as (x, y).
     :param padding_mode: {'border', 'zeros'} Out-of-image behaviour.
     :return: (b, gh, gw, c) Sampled image.
+
+    On TPU the border path runs the Pallas warp kernel (`ops/pallas_warp.py`,
+    ~5x the XLA gather on video-like warps); elsewhere (and for `zeros`) the
+    XLA gather path below is used. Both match torch
+    `grid_sample(bilinear, border/zeros, align_corners=False)` exactly.
     """
     if padding_mode not in ('border', 'zeros'):
         raise ValueError(f'Invalid padding_mode: {padding_mode}')
     b, h, w, c = img.shape
     gh, gw = grid.shape[1:3]
+
+    if padding_mode == 'border' and h >= 2 and w >= 2 and _use_pallas_warp(img.shape):
+        fx = jnp.clip(_unnormalize(grid[..., 0], w), 0.0, w - 1.0)
+        fy = jnp.clip(_unnormalize(grid[..., 1], h), 0.0, h - 1.0)
+        return _warp_pallas_core(img, fx, fy)
 
     x = _unnormalize(grid[..., 0].reshape(b, -1), w)  # (b, n)
     y = _unnormalize(grid[..., 1].reshape(b, -1), h)

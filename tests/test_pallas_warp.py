@@ -1,0 +1,103 @@
+"""Pallas warp kernel: parity + gradients vs the XLA gather path.
+
+Runs the kernel through the Pallas interpreter on the CPU test mesh
+(`SLOWTV_FORCE_PALLAS_WARP` routes `grid_sample`'s border path through it),
+comparing outputs and BOTH cotangents (grid and image) against the XLA
+formulation that is itself golden-tested against torch.
+"""
+import os
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).parent))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from slowtv_monodepth_tpu.ops.pallas_warp import warp_bilinear_pallas  # noqa: E402
+from slowtv_monodepth_tpu.ops.sample import grid_sample  # noqa: E402
+
+RNG = np.random.default_rng(17)
+
+
+def _rand_case(b=2, h=24, w=160, c=3, ho=16, wo=200):
+    img = RNG.random((b, h, w, c), dtype=np.float32)
+    fx = np.clip(RNG.random((b, ho, wo)) * 1.4 * (w - 1) - 0.2 * w,
+                 0, w - 1).astype(np.float32)
+    fy = np.clip(RNG.random((b, ho, wo)) * 1.4 * (h - 1) - 0.2 * h,
+                 0, h - 1).astype(np.float32)
+    grid = np.stack([(2 * fx + 1) / w - 1, (2 * fy + 1) / h - 1],
+                    axis=-1).astype(np.float32)
+    return img, fx, fy, grid
+
+
+@pytest.mark.parametrize('shape', [
+    (1, 16, 128, 1, 16, 128),   # single tile
+    (1, 24, 160, 3, 24, 160),   # non-multiple width, RGB
+    (2, 24, 160, 3, 16, 200),   # batched, output shape differs
+])
+def test_kernel_matches_xla(shape):
+    b, h, w, c, ho, wo = shape
+    img, fx, fy, grid = _rand_case(b, h, w, c, ho, wo)
+    out, _, _ = warp_bilinear_pallas(jnp.asarray(img), jnp.asarray(fx),
+                                     jnp.asarray(fy), interpret=True)
+    want = grid_sample(jnp.asarray(img), jnp.asarray(grid))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=2e-5)
+
+
+def test_grid_sample_dispatch_and_grads(monkeypatch):
+    """Full grid_sample pallas path (custom_vjp): output + grid/image grads
+    match the XLA path."""
+    monkeypatch.setenv('SLOWTV_FORCE_PALLAS_WARP', '1')
+    img, fx, fy, grid = _rand_case()
+    imgj, gridj = jnp.asarray(img), jnp.asarray(grid)
+
+    def loss(im, gr):
+        o = grid_sample(im, gr)
+        return (o * jnp.cos(o)).sum()
+
+    val_p, (gi_p, gg_p) = jax.value_and_grad(loss, argnums=(0, 1))(imgj, gridj)
+
+    monkeypatch.setenv('SLOWTV_DISABLE_PALLAS_WARP', '1')
+    val_x, (gi_x, gg_x) = jax.value_and_grad(loss, argnums=(0, 1))(imgj, gridj)
+
+    np.testing.assert_allclose(float(val_p), float(val_x), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gi_p), np.asarray(gi_x),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gg_p), np.asarray(gg_x),
+                               atol=1e-3, rtol=1e-3)
+
+
+def test_derivative_outputs_match_finite_differences():
+    img, fx, fy, _ = _rand_case(1, 16, 128, 1, 16, 128)
+    imgj = jnp.asarray(img)
+    out, ddx, ddy = warp_bilinear_pallas(imgj, jnp.asarray(fx),
+                                         jnp.asarray(fy), interpret=True)
+    eps = 1e-3
+    h, w = img.shape[1:3]
+    def off_int(a):  # FD across an integer coordinate straddles a corner.
+        fr = a % 1
+        return (fr > 5e-3) & (fr < 1 - 5e-3)
+
+    for d, arr, lo_ok in ((ddx, fx, (fx > 1) & (fx < w - 2) & off_int(fx)),
+                          (ddy, fy, (fy > 1) & (fy < h - 2) & off_int(fy))):
+        bumped = np.clip(arr + eps, 0, None)
+        if arr is fx:
+            o2, _, _ = warp_bilinear_pallas(imgj, jnp.asarray(bumped),
+                                            jnp.asarray(fy), interpret=True)
+        else:
+            o2, _, _ = warp_bilinear_pallas(imgj, jnp.asarray(fx),
+                                            jnp.asarray(bumped), interpret=True)
+        fd = (np.asarray(o2) - np.asarray(out)) / eps
+        np.testing.assert_allclose(np.asarray(d)[lo_ok], fd[lo_ok], atol=5e-2)
+
+
+def test_supported_predicate():
+    from slowtv_monodepth_tpu.ops.pallas_warp import pallas_warp_supported
+    assert pallas_warp_supported((4, 384, 640, 3), 'tpu')
+    assert pallas_warp_supported((12, 384, 1216, 3), 'tpu')  # eval KITTI
+    assert not pallas_warp_supported((4, 384, 640, 3), 'cpu')
+    assert not pallas_warp_supported((4, 1080, 1920, 3), 'tpu')  # too big
