@@ -75,20 +75,26 @@ def main():
         x, y = shard_batch(mesh, (x, y))
     step = make_train_step(trainer, supp_idxs, tx, mesh=mesh, donate=True)
 
-    # IMPORTANT: fetch the loss to host every iteration. Over the axon TPU
+    # IMPORTANT: fetch the loss to host to synchronize. Over the axon TPU
     # tunnel `jax.block_until_ready` returns without waiting for device
     # execution (measured: "blocked" steps report ~7 ms while a host fetch
     # shows ~400 ms of real device work), so only a device->host transfer
-    # gives an honest steady-state time.
+    # gives an honest steady-state time. The fetch is pipelined one step
+    # behind (as the training loop runs), so the host round-trip overlaps
+    # device compute; every timed step still fully completes before `dt`.
     rngs = [jax.random.PRNGKey(100 + i) for i in range(WARMUP + ITERS)]
     for i in range(WARMUP):
         state, scalars = step(state, x, y, rngs[i])
     float(scalars['loss'])
 
     t0 = time.perf_counter()
+    prev = None
     for i in range(ITERS):
         state, scalars = step(state, x, y, rngs[WARMUP + i])
-        float(scalars['loss'])
+        if prev is not None:
+            float(prev)
+        prev = scalars['loss']
+    float(prev)
     dt = time.perf_counter() - t0
 
     imgs_per_sec = B * ITERS / dt
