@@ -35,12 +35,23 @@ __all__ = ['load_pretrained_encoder', 'find_weights_file']
 LOGGER = get_logger('pretrained')
 
 
+# DPT encoders initialize from the released MiDaS checkpoints (matching the
+# reference, whose quickstart DPT models are MiDaS-finetuned).
+_DPT_MIDAS_STEMS = {
+    'dpt_vitl16_384': 'midas/dpt_large-midas-2f21e586',
+}
+
+
 def find_weights_file(enc_name: str) -> Optional[str]:
+    stems = [f'timm/{enc_name}']
+    if enc_name in _DPT_MIDAS_STEMS:
+        stems.append(_DPT_MIDAS_STEMS[enc_name])
     for root in MODEL_ROOTS:
-        for suffix in ('.npz', '.pth', '.pt'):
-            f = root / 'timm' / f'{enc_name}{suffix}'
-            if f.is_file():
-                return str(f)
+        for stem in stems:
+            for suffix in ('.npz', '.pth', '.pt'):
+                f = root / f'{stem}{suffix}'
+                if f.is_file():
+                    return str(f)
     return None
 
 
@@ -92,9 +103,21 @@ def load_pretrained_encoder(variables: dict, enc_name: str,
     elif enc_name in CONVNEXT_SPECS:
         spec = CONVNEXT_SPECS[enc_name]
         params = convert_convnext(sd, spec['depths'], in_chans=in_chans)
-        variables = dict(variables)
-        variables['params'] = dict(variables['params'])
-        variables['params']['encoder'] = _as_jnp(params)
+        graft(params)
+    elif enc_name in _DPT_MIDAS_STEMS:
+        # DPT depth nets initialize from the MiDaS checkpoint (the
+        # reference's quickstart DPT models are MiDaS-finetuned); reuse the
+        # MiDaS converter's trunk mapping on a `midas/*.npz|pt` dump.
+        from ..import_midas import convert_midas_encoder
+        name = enc_name.removeprefix('dpt_')
+        try:
+            params = convert_midas_encoder(sd, backbone=name)
+        except KeyError as e:
+            LOGGER.warning(f'MiDaS-layout weights expected for "{enc_name}" '
+                           f'(missing {e}); using random init.')
+            return variables
+        graft(params)
     else:
         LOGGER.warning(f'No converter for encoder "{enc_name}"; using random init.')
     return variables
+

@@ -21,7 +21,7 @@ import numpy as np
 
 from .encoders.vit import VIT_SPECS
 
-__all__ = ['convert_midas_dpt', 'load_midas_state_dict']
+__all__ = ['convert_midas_dpt', 'convert_midas_encoder', 'load_midas_state_dict']
 
 
 def load_midas_state_dict(path) -> dict[str, np.ndarray]:
@@ -70,8 +70,10 @@ def _mha(sd, pre, dim: int, heads: int):
     return out
 
 
-def convert_midas_dpt(sd: dict[str, np.ndarray], backbone: str = 'vitl16_384') -> dict:
-    """MiDaS DPT state dict -> `{'params': ...}` for `MidasDPT`."""
+def convert_midas_encoder(sd: dict[str, np.ndarray],
+                          backbone: str = 'vitl16_384') -> dict:
+    """MiDaS trunk + readout/reassemble -> `ViTEncoder` params (used both by
+    the full `convert_midas_dpt` and by DPT-DepthNet pretrained grafting)."""
     spec = VIT_SPECS[backbone]
     dim, heads = spec['dim'], spec['heads']
 
@@ -106,6 +108,12 @@ def convert_midas_dpt(sd: dict[str, np.ndarray], backbone: str = 'vitl16_384') -
             stage['down'] = {'kernel': _conv(sd[f'pretrained.act_postprocess{k}.4.weight']),
                              'bias': sd[f'pretrained.act_postprocess{k}.4.bias']}
         enc[f'reassemble{s}'] = stage
+    return enc
+
+
+def convert_midas_dpt(sd: dict[str, np.ndarray], backbone: str = 'vitl16_384') -> dict:
+    """MiDaS DPT state dict -> `{'params': ...}` for `MidasDPT`."""
+    enc = convert_midas_encoder(sd, backbone)
 
     def res_unit(pre):
         return {'conv1': {'kernel': _conv(sd[f'{pre}.conv1.weight']),

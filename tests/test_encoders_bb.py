@@ -366,3 +366,74 @@ class TestDptBackboneMatrix:
         x = jnp.zeros((1, 96, 128, 3))
         out = net.apply(net.init(jax.random.PRNGKey(0), x), x, train=False)
         assert out['disp'][0].shape == (1, 96, 128, 1)
+
+
+class TestDptMidasGraft:
+    def test_dpt_encoder_grafts_from_midas_dump(self, tmp_path, monkeypatch):
+        """`dpt_*` encoders with pretrained=True pull the MiDaS trunk weights
+        (the reference's DPT depth nets are MiDaS-initialized)."""
+        from slowtv_monodepth_tpu.models.encoders import pretrained as pt
+
+        dim, depth = 768, 12
+        sd = {
+            'pretrained.model.cls_token': np.full((1, 1, dim), 0.25, np.float32),
+            'pretrained.model.pos_embed': np.zeros((1, 577, dim), np.float32),
+            'pretrained.model.patch_embed.proj.weight':
+                np.ones((dim, 3, 16, 16), np.float32),
+            'pretrained.model.patch_embed.proj.bias': np.zeros(dim, np.float32),
+        }
+        for i in range(depth):
+            pre = f'pretrained.model.blocks.{i}'
+            sd |= {f'{pre}.norm1.weight': np.ones(dim, np.float32),
+                   f'{pre}.norm1.bias': np.zeros(dim, np.float32),
+                   f'{pre}.attn.qkv.weight': np.zeros((3 * dim, dim), np.float32),
+                   f'{pre}.attn.qkv.bias': np.zeros(3 * dim, np.float32),
+                   f'{pre}.attn.proj.weight': np.zeros((dim, dim), np.float32),
+                   f'{pre}.attn.proj.bias': np.zeros(dim, np.float32),
+                   f'{pre}.norm2.weight': np.ones(dim, np.float32),
+                   f'{pre}.norm2.bias': np.zeros(dim, np.float32),
+                   f'{pre}.mlp.fc1.weight': np.zeros((4 * dim, dim), np.float32),
+                   f'{pre}.mlp.fc1.bias': np.zeros(4 * dim, np.float32),
+                   f'{pre}.mlp.fc2.weight': np.zeros((dim, 4 * dim), np.float32),
+                   f'{pre}.mlp.fc2.bias': np.zeros(dim, np.float32)}
+        for s, ch in enumerate((96, 192, 384, 768)):
+            k = s + 1
+            sd |= {f'pretrained.act_postprocess{k}.0.project.0.weight':
+                       np.zeros((dim, 2 * dim), np.float32),
+                   f'pretrained.act_postprocess{k}.0.project.0.bias':
+                       np.zeros(dim, np.float32),
+                   f'pretrained.act_postprocess{k}.3.weight':
+                       np.zeros((ch, dim, 1, 1), np.float32),
+                   f'pretrained.act_postprocess{k}.3.bias':
+                       np.zeros(ch, np.float32)}
+            if s == 0:
+                sd[f'pretrained.act_postprocess{k}.4.weight'] = \
+                    np.zeros((ch, ch, 4, 4), np.float32)
+                sd[f'pretrained.act_postprocess{k}.4.bias'] = np.zeros(ch, np.float32)
+            elif s == 1:
+                sd[f'pretrained.act_postprocess{k}.4.weight'] = \
+                    np.zeros((ch, ch, 2, 2), np.float32)
+                sd[f'pretrained.act_postprocess{k}.4.bias'] = np.zeros(ch, np.float32)
+            elif s == 3:
+                sd[f'pretrained.act_postprocess{k}.4.weight'] = \
+                    np.zeros((ch, ch, 3, 3), np.float32)
+                sd[f'pretrained.act_postprocess{k}.4.bias'] = np.zeros(ch, np.float32)
+
+        f = tmp_path / 'midas' / 'dpt_b16-test.npz'
+        f.parent.mkdir(parents=True)
+        np.savez(f, **sd)
+        monkeypatch.setattr(pt, 'MODEL_ROOTS', [tmp_path])
+        monkeypatch.setitem(pt._DPT_MIDAS_STEMS, 'dpt_vitb16_384',
+                            'midas/dpt_b16-test')
+
+        from slowtv_monodepth_tpu.models.encoders import create_encoder
+        enc, _, _ = create_encoder('dpt_vitb16_384')
+        x = jnp.zeros((1, 64, 96, 3))
+        variables = dict(enc.init(jax.random.PRNGKey(0), x))
+        wrapped = {'params': {'encoder': variables['params']}}
+        grafted = pt.load_pretrained_encoder(dict(wrapped), 'dpt_vitb16_384')
+        enc_params = grafted['params']['encoder']
+        np.testing.assert_allclose(
+            np.asarray(enc_params['cls_token']), 0.25, atol=1e-7)
+        np.testing.assert_allclose(
+            np.asarray(enc_params['patch_embed']['kernel']), 1.0, atol=1e-7)
