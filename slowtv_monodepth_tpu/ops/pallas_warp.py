@@ -4,30 +4,33 @@ WHY: XLA lowers `grid_sample` to an HBM gather that is descriptor-rate bound
 (~17-27 ns per output pixel on v5e) — it dominated the KBR train step (222 of
 ~430 ms even after packing the 4 corners into one gather; see
 `ops/sample.py`). Mosaic *can* do arbitrary per-element selection inside one
-(8, 128) vreg (a sublane gather composed with a lane gather), so this kernel
-keeps the whole source image resident in VMEM and resolves each output tile
-with vector gathers instead of DMA descriptors.
+(8, 128) vreg, so this kernel keeps the whole source image resident in VMEM
+and resolves each output tile with vector gathers instead of DMA descriptors.
 
 DESIGN (exact for arbitrary warps, adaptive cost):
-- XLA side packs the two x-corners into channels (`[img, shift_x(img)]`,
-  edge-replicated), so the kernel samples ONE (x0, y) location per corner
-  row; the y0/y0+1 rows are two sublane gathers (+ a broadcast row for the
-  tile-boundary case).
 - The kernel grid is (batch, out_row_tiles, out_col_tiles). For each output
   tile it reduces the tile's integer source coords to min/max bounds IN
   KERNEL and runs a dynamic `fori_loop` over only the source (8, 128) tiles
-  that the warp actually touches — near-identity video warps visit ~1-6
-  source tiles per output tile, while the worst case degrades gracefully to
-  a full scan (still exact).
-- Outputs are channel-major (b, c, h, w) so every VMEM block is a clean
+  the warp actually touches — near-identity video warps visit ~1-6 source
+  tiles per output tile, while the worst case degrades gracefully to a full
+  scan (still exact).
+- Per-element 2D selection within a source vreg: lane-gather EVERY sublane
+  at the column index, then select the sublane by the row index. (A
+  sublane-then-lane gather chain is WRONG for per-element 2D indices — the
+  second gather re-indexes the first's output at a different lane.)
+- The 2x2 bilinear footprint can cross the source tile's right/bottom edge;
+  the boundary column (+ row, + diagonal corner) of the neighboring tiles
+  are pulled as thin aligned slices and selected in. Border padding falls
+  out of `x1 = min(x0+1, w-1)` / `y1 = min(y0+1, h-1)`.
+- Layout is channel-major (b, c, h, w) so every VMEM block is a clean
   (8, 128) vreg tile (channel-minor blocks would pad 3 -> 128 lanes).
 - Besides the warped image the kernel emits d(out)/dx and d(out)/dy (the
-  corner differences), which make the grid VJP a pure elementwise product —
+  corner differences), making the grid VJP a pure elementwise product —
   `ops.sample` wraps this in a `custom_vjp`.
 
-The source image must fit VMEM as packed f32 (h * w_pad * 2c * 4B <= ~12MB;
-true for every training/eval shape up to 384x1280 RGB). `ops/sample.py`
-falls back to the XLA gather path otherwise and on non-TPU backends.
+The source image must fit VMEM channel-major f32 (h_pad * w_pad * c * 4B
+<= ~12MB: true up to 720x1280 RGB, i.e. every training/eval/AR-aug shape).
+`ops/sample.py` falls back to the XLA gather path otherwise and off-TPU.
 """
 from __future__ import annotations
 
@@ -39,25 +42,38 @@ from jax.experimental import pallas as pl
 
 __all__ = ['warp_bilinear_pallas', 'pallas_warp_supported']
 
-_VMEM_IMG_BUDGET = 12 * 1024 * 1024
+_VMEM_IMG_BUDGET = 13 * 1024 * 1024
 
 
 def pallas_warp_supported(img_shape, backend: str) -> bool:
-    """Static dispatch check for `ops.sample.grid_sample`."""
+    """Static dispatch check for `ops.sample.grid_sample`.
+
+    Pallas double-buffers the (whole-image) input block, so the effective
+    VMEM footprint is 2x the padded image; 720x1280 RGB (AR-aug native res)
+    exceeds it and falls back to the XLA gather path.
+    """
     b, h, w, c = img_shape
     if backend != 'tpu':
         return False
     wp = -(-w // 128) * 128
     hp = -(-h // 8) * 8
-    return hp * wp * 2 * c * 4 <= _VMEM_IMG_BUDGET
+    return 2 * hp * wp * c * 4 <= _VMEM_IMG_BUDGET
+
+
+def _select_rows(vr, vb, idx, use_b):
+    """Pick per-element from the 8 row-gathers (or the boundary gather)."""
+    v = vr[0]
+    for r in range(1, 8):
+        v = jnp.where(idx == r, vr[r], v)
+    return jnp.where(use_b, vb, v)
 
 
 def _kernel(img_ref, fx_ref, fy_ref, out_ref, ddx_ref, ddy_ref, *, c: int,
             h: int, w: int):
     """One (8, 128) output tile: adaptive scan of touched source tiles.
 
-    img_ref: (1, 2c, hp, wp) packed [img, shift_x(img)] channel-major.
-    fx/fy_ref: (1, 8, 128) continuous source coords (already border-clamped).
+    img_ref: (1, c, hp, wp) channel-major source image.
+    fx/fy_ref: (1, 8, 128) continuous coords (already border-clamped).
     out/ddx/ddy_ref: (1, c, 8, 128).
     """
     fx = fx_ref[0]
@@ -66,65 +82,86 @@ def _kernel(img_ref, fx_ref, fy_ref, out_ref, ddx_ref, ddy_ref, *, c: int,
     y0f = jnp.floor(fy)
     wx = fx - x0f
     wy = fy - y0f
-    x0 = x0f.astype(jnp.int32)  # in [0, w-1]
-    y0 = y0f.astype(jnp.int32)  # in [0, h-1]
-    # Border-clamped second row; keeps d(out)/dy == 0 at the bottom edge
-    # exactly like the XLA clamped-index formulation.
+    x0 = x0f.astype(jnp.int32)        # in [0, w-1]
+    y0 = y0f.astype(jnp.int32)        # in [0, h-1]
+    # Border-clamped second row/column: keeps d(out)/dx|dy == 0 at the
+    # right/bottom edges exactly like the XLA clamped-index formulation.
+    x1g = jnp.minimum(x0 + 1, w - 1)
     y1g = jnp.minimum(y0 + 1, h - 1)
 
     # Touched source-tile ranges (inclusive), computed in-kernel.
     rt0 = jnp.min(y0) // 8
-    rt1 = jnp.max(y0) // 8          # y0+1 handled via the boundary row.
+    rt1 = jnp.max(y0) // 8
     ct0 = jnp.min(x0) // 128
     ct1 = jnp.max(x0) // 128
 
     hp = img_ref.shape[2]
+    wp = img_ref.shape[3]
 
     def col_body(ct, acc):
         cbase = ct * 128
         lx = x0 - cbase
+        lx1 = x1g - cbase                 # in [0, 128] for valid pixels.
         vx = (lx >= 0) & (lx < 128)
         lxc = jnp.clip(lx, 0, 127)
+        lxc1 = jnp.clip(lx1, 0, 127)
+        x_over = lx1 >= 128               # x1 lives in the next column tile.
+        # Aligned starts for the boundary column/row/corner reads. When the
+        # overflow can't happen (right/bottom image edge) the clamp keeps the
+        # read in-bounds and the selected weight is zero, so values are
+        # never used.
+        next_c = jnp.minimum(cbase + 128, wp - 128)
 
         def row_body(rt, acc):
             rbase = rt * 8
             ly = y0 - rbase
-            ly1 = y1g - rbase  # in [0, 8] for valid pixels.
+            ly1 = y1g - rbase             # in [0, 8] for valid pixels.
             vyx = vx & (ly >= 0) & (ly < 8)
-            # Tile just below, for y1 == rbase+8 (only reachable when that
-            # row exists, so the aligned clamp never selects a wrong row).
-            next_base = jnp.minimum(rbase + 8, hp - 8)
-            use_next = ly1 >= 8
+            lyc = jnp.clip(ly, 0, 7)
+            lyc1 = jnp.clip(ly1, 0, 7)
+            y_over = ly1 >= 8             # y1 lives in the next row tile.
+            next_r = jnp.minimum(rbase + 8, hp - 8)
 
             outs, ddxs, ddys = acc
             new_outs, new_ddxs, new_ddys = [], [], []
             for ch in range(c):
-                vals = []
-                for corner in (0, 1):  # x0 (img) / x1 (shift_x) packing.
-                    a = img_ref[0, corner * c + ch,
-                                pl.ds(pl.multiple_of(rbase, 8), 8),
-                                pl.ds(pl.multiple_of(cbase, 128), 128)]
-                    brow = img_ref[0, corner * c + ch,
-                                   pl.ds(pl.multiple_of(next_base, 8), 1),
-                                   pl.ds(pl.multiple_of(cbase, 128), 128)]
-                    # Per-element 2D selection: lane-gather EVERY source
-                    # sublane at lx, then pick the sublane by ly. (A
-                    # sublane-then-lane gather chain is wrong for 2D
-                    # per-element indices: the second gather re-indexes the
-                    # first's output at a different lane.)
-                    vr = [jnp.take_along_axis(
-                        jnp.broadcast_to(a[r:r + 1], (8, 128)), lxc, axis=1)
-                        for r in range(8)]
-                    vb = jnp.take_along_axis(
-                        jnp.broadcast_to(brow, (8, 128)), lxc, axis=1)
-                    v0 = vr[0]
-                    v1 = vr[0]
-                    for r in range(1, 8):
-                        v0 = jnp.where(ly == r, vr[r], v0)
-                        v1 = jnp.where(ly1 == r, vr[r], v1)
-                    v1 = jnp.where(use_next, vb, v1)
-                    vals.append((v0, v1))
-                (v00, v10), (v01, v11) = vals
+                a = img_ref[0, ch,
+                            pl.ds(pl.multiple_of(rbase, 8), 8),
+                            pl.ds(pl.multiple_of(cbase, 128), 128)]
+                brow = img_ref[0, ch,
+                               pl.ds(pl.multiple_of(next_r, 8), 1),
+                               pl.ds(pl.multiple_of(cbase, 128), 128)]
+                bcol = img_ref[0, ch,
+                               pl.ds(pl.multiple_of(rbase, 8), 8),
+                               pl.ds(pl.multiple_of(next_c, 128), 1)]
+                corner = img_ref[0, ch,
+                                 pl.ds(pl.multiple_of(next_r, 8), 1),
+                                 pl.ds(pl.multiple_of(next_c, 128), 1)]
+
+                # Lane-gather every source sublane at both column indices.
+                vr0 = [jnp.take_along_axis(
+                    jnp.broadcast_to(a[r:r + 1], (8, 128)), lxc, axis=1)
+                    for r in range(8)]
+                vr1 = [jnp.take_along_axis(
+                    jnp.broadcast_to(a[r:r + 1], (8, 128)), lxc1, axis=1)
+                    for r in range(8)]
+                br0 = jnp.take_along_axis(
+                    jnp.broadcast_to(brow, (8, 128)), lxc, axis=1)
+                br1 = jnp.take_along_axis(
+                    jnp.broadcast_to(brow, (8, 128)), lxc1, axis=1)
+                # Boundary column at the pixel's row(s): sublane gather.
+                bc = jnp.broadcast_to(bcol, (8, 128))
+                bc0 = jnp.take_along_axis(bc, lyc, axis=0)
+                bc1 = jnp.take_along_axis(bc, lyc1, axis=0)
+                cor = jnp.broadcast_to(corner, (8, 128))
+
+                v00 = _select_rows(vr0, br0, ly, False)
+                v01 = _select_rows(vr1, br1, ly, False)
+                v01 = jnp.where(x_over, bc0, v01)
+                v10 = _select_rows(vr0, br0, ly1, y_over)
+                v11 = _select_rows(vr1, br1, ly1, y_over)
+                v11 = jnp.where(x_over, jnp.where(y_over, cor, bc1), v11)
+
                 top = v00 * (1 - wx) + v01 * wx
                 bot = v10 * (1 - wx) + v11 * wx
                 px = top * (1 - wy) + bot * wy
@@ -173,12 +210,9 @@ def _warp_bilinear_jit(img: jnp.ndarray, fx: jnp.ndarray, fy: jnp.ndarray,
     hop = -(-ho // 8) * 8
     wop = -(-wo // 128) * 128
 
-    # Pack the two x-corners into channels (edge-replicated shift) and go
-    # channel-major so VMEM tiles are clean (8, 128) vregs.
-    sx = jnp.concatenate([img[:, :, 1:], img[:, :, -1:]], axis=2)
-    packed = jnp.concatenate([img, sx], axis=-1)          # (b, h, w, 2c)
-    packed = jnp.transpose(packed, (0, 3, 1, 2))          # (b, 2c, h, w)
-    packed = jnp.pad(packed, ((0, 0), (0, 0), (0, hp - h), (0, wp - w)))
+    # Channel-major so VMEM tiles are clean (8, 128) vregs.
+    chw = jnp.transpose(img, (0, 3, 1, 2))                # (b, c, h, w)
+    chw = jnp.pad(chw, ((0, 0), (0, 0), (0, hp - h), (0, wp - w)))
 
     fxp = jnp.pad(fx, ((0, 0), (0, hop - ho), (0, wop - wo)))
     fyp = jnp.pad(fy, ((0, 0), (0, hop - ho), (0, wop - wo)))
@@ -188,7 +222,7 @@ def _warp_bilinear_jit(img: jnp.ndarray, fx: jnp.ndarray, fy: jnp.ndarray,
         kern,
         grid=(b, hop // 8, wop // 128),
         in_specs=[
-            pl.BlockSpec((1, 2 * c, hp, wp), lambda bb, i, j: (bb, 0, 0, 0)),
+            pl.BlockSpec((1, c, hp, wp), lambda bb, i, j: (bb, 0, 0, 0)),
             pl.BlockSpec((1, 8, 128), lambda bb, i, j: (bb, i, j)),
             pl.BlockSpec((1, 8, 128), lambda bb, i, j: (bb, i, j)),
         ],
@@ -199,7 +233,7 @@ def _warp_bilinear_jit(img: jnp.ndarray, fx: jnp.ndarray, fy: jnp.ndarray,
         ],
         out_shape=[jax.ShapeDtypeStruct((b, c, hop, wop), img.dtype)] * 3,
         interpret=interpret,
-    )(packed, fxp, fyp)
+    )(chw, fxp, fyp)
 
     def unpack(t):
         return jnp.transpose(t, (0, 2, 3, 1))[:, :ho, :wo]

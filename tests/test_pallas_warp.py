@@ -100,4 +100,37 @@ def test_supported_predicate():
     assert pallas_warp_supported((4, 384, 640, 3), 'tpu')
     assert pallas_warp_supported((12, 384, 1216, 3), 'tpu')  # eval KITTI
     assert not pallas_warp_supported((4, 384, 640, 3), 'cpu')
-    assert not pallas_warp_supported((4, 1080, 1920, 3), 'tpu')  # too big
+    # Double-buffered image block exceeds VMEM at native 720p+.
+    assert not pallas_warp_supported((4, 720, 1280, 3), 'tpu')
+    assert not pallas_warp_supported((4, 1080, 1920, 3), 'tpu')
+
+
+def test_tile_boundary_coords_exact():
+    """Pixels sampling exactly at tile boundaries (lx=127 -> x1 in the next
+    column tile, ly=7 -> y1 in the next row tile, and the diagonal corner)
+    match the XLA path bit-for-bit-ish."""
+    b, h, w, c = 1, 32, 384, 3
+    img = RNG.random((b, h, w, c), dtype=np.float32)
+    # Dense fractional coords straddling every boundary: x around 127/128,
+    # 255/256, w-1; y around 7/8, 15/16, h-1.
+    xs = np.concatenate([np.linspace(126.25, 129.75, 20),
+                         np.linspace(254.25, 257.75, 20),
+                         np.linspace(w - 2.5, w - 1, 10),
+                         np.linspace(0, 2, 14)])
+    ys = np.concatenate([np.linspace(6.25, 8.75, 20),
+                         np.linspace(14.25, 16.75, 20),
+                         np.linspace(h - 2.5, h - 1, 14),
+                         np.linspace(0, 2, 10)])
+    fx = np.broadcast_to(xs[None, None, :], (b, 64, 64)).astype(np.float32)
+    fy = np.broadcast_to(ys[None, :, None], (b, 64, 64)).astype(np.float32)
+    out, ddx, ddy = warp_bilinear_pallas(jnp.asarray(img), jnp.asarray(fx),
+                                         jnp.asarray(fy), interpret=True)
+    grid = np.stack([(2 * fx + 1) / w - 1, (2 * fy + 1) / h - 1],
+                    axis=-1).astype(np.float32)
+    want = grid_sample(jnp.asarray(img), jnp.asarray(grid))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=2e-5)
+    # Border derivative convention: zero at the far edges.
+    edge_x = np.isclose(fx, w - 1)
+    edge_y = np.isclose(fy, h - 1)
+    assert np.abs(np.asarray(ddx)[edge_x]).max() == 0
+    assert np.abs(np.asarray(ddy)[edge_y]).max() == 0
