@@ -134,9 +134,12 @@ def _kernel(img_ref, fx_ref, fy_ref, out_ref, ddx_ref, ddy_ref, *, c: int,
                 bcol = img_ref[0, ch,
                                pl.ds(pl.multiple_of(rbase, 8), 8),
                                pl.ds(pl.multiple_of(next_c, 128), 1)]
-                corner = img_ref[0, ch,
-                                 pl.ds(pl.multiple_of(next_r, 8), 1),
-                                 pl.ds(pl.multiple_of(next_c, 128), 1)]
+                # Next-row-tile column at next_c; its row 0 is the diagonal
+                # corner. (Routed through an (8,1) broadcast + index-0
+                # sublane gather: Mosaic rejects (1,1)->(8,128) broadcasts.)
+                bcol2 = img_ref[0, ch,
+                                pl.ds(pl.multiple_of(next_r, 8), 8),
+                                pl.ds(pl.multiple_of(next_c, 128), 1)]
 
                 # Lane-gather every source sublane at both column indices.
                 vr0 = [jnp.take_along_axis(
@@ -153,7 +156,9 @@ def _kernel(img_ref, fx_ref, fy_ref, out_ref, ddx_ref, ddy_ref, *, c: int,
                 bc = jnp.broadcast_to(bcol, (8, 128))
                 bc0 = jnp.take_along_axis(bc, lyc, axis=0)
                 bc1 = jnp.take_along_axis(bc, lyc1, axis=0)
-                cor = jnp.broadcast_to(corner, (8, 128))
+                cor = jnp.take_along_axis(
+                    jnp.broadcast_to(bcol2, (8, 128)),
+                    jnp.zeros((8, 128), jnp.int32), axis=0)
 
                 v00 = _select_rows(vr0, br0, ly, False)
                 v01 = _select_rows(vr1, br1, ly, False)
