@@ -49,12 +49,20 @@ def pallas_warp_supported(img_shape, backend: str) -> bool:
     """Static dispatch check for `ops.sample.grid_sample`.
 
     Pallas double-buffers the (whole-image) input block, so the effective
-    VMEM footprint is 2x the padded image; 720x1280 RGB (AR-aug native res)
-    exceeds it and falls back to the XLA gather path.
+    VMEM footprint is 2x the padded image. Images whose full channel stack
+    doesn't fit are dispatched per channel (see `warp_bilinear_pallas`), so
+    the budget only has to hold ONE channel plane — native 720x1280 RGB
+    (AR-aug) still qualifies; 1080p does not and falls back to XLA.
     """
     b, h, w, c = img_shape
     if backend != 'tpu':
         return False
+    wp = -(-w // 128) * 128
+    hp = -(-h // 8) * 8
+    return 2 * hp * wp * 4 <= _VMEM_IMG_BUDGET  # Single-channel plane.
+
+
+def _fits_whole(h: int, w: int, c: int) -> bool:
     wp = -(-w // 128) * 128
     hp = -(-h // 8) * 8
     return 2 * hp * wp * c * 4 <= _VMEM_IMG_BUDGET
@@ -202,6 +210,13 @@ def warp_bilinear_pallas(img: jnp.ndarray, fx: jnp.ndarray, fy: jnp.ndarray,
     """
     if interpret is None:
         interpret = jax.default_backend() != 'tpu'
+    b, h, w, c = img.shape
+    if c > 1 and not _fits_whole(h, w, c):
+        # Large sources (e.g. 720p AR-aug): one kernel launch per channel so
+        # only a single plane has to sit in VMEM.
+        parts = [_warp_bilinear_jit(img[..., i:i + 1], fx, fy, interpret)
+                 for i in range(c)]
+        return tuple(jnp.concatenate(t, axis=-1) for t in zip(*parts))
     return _warp_bilinear_jit(img, fx, fy, interpret)
 
 

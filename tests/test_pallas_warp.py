@@ -100,9 +100,20 @@ def test_supported_predicate():
     assert pallas_warp_supported((4, 384, 640, 3), 'tpu')
     assert pallas_warp_supported((12, 384, 1216, 3), 'tpu')  # eval KITTI
     assert not pallas_warp_supported((4, 384, 640, 3), 'cpu')
-    # Double-buffered image block exceeds VMEM at native 720p+.
-    assert not pallas_warp_supported((4, 720, 1280, 3), 'tpu')
+    # Native 720p dispatches per channel; 1080p exceeds even one plane.
+    assert pallas_warp_supported((4, 720, 1280, 3), 'tpu')
     assert not pallas_warp_supported((4, 1080, 1920, 3), 'tpu')
+
+
+def test_per_channel_dispatch_matches(monkeypatch):
+    """Images above the whole-stack VMEM budget split per channel."""
+    from slowtv_monodepth_tpu.ops import pallas_warp as pw
+    monkeypatch.setattr(pw, '_VMEM_IMG_BUDGET', 2 * 24 * 256 * 4 + 64)
+    img, fx, fy, grid = _rand_case(1, 24, 160, 3, 16, 200)
+    out, _, _ = pw.warp_bilinear_pallas(jnp.asarray(img), jnp.asarray(fx),
+                                        jnp.asarray(fy), interpret=True)
+    want = grid_sample(jnp.asarray(img), jnp.asarray(grid))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=2e-5)
 
 
 def test_tile_boundary_coords_exact():
