@@ -87,28 +87,3 @@ def test_grad_matches_torch():
     di, dg = jax.grad(loss_fn, argnums=(0, 1))(jnp.asarray(img), jnp.asarray(grid))
     np.testing.assert_allclose(np.asarray(di), want_di, rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(dg), want_dg, rtol=1e-4, atol=1e-4)
-
-
-class TestPallasSampler:
-    def test_interpret_parity_with_xla(self):
-        """Pallas kernel == XLA gather path (incl. out-of-bounds border)."""
-        import jax
-        import jax.numpy as jnp
-        from slowtv_monodepth_tpu.ops.pallas_sample import grid_sample_pallas
-        from slowtv_monodepth_tpu.ops.sample import grid_sample
-        img = jax.random.uniform(jax.random.PRNGKey(0), (2, 16, 24, 3))
-        grid = jax.random.uniform(jax.random.PRNGKey(1), (2, 12, 20, 2)) * 2.4 - 1.2
-        a = grid_sample(img, grid, 'border')
-        b = grid_sample_pallas(img, grid, interpret=True)
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
-
-    def test_fused_dispatch_falls_back(self):
-        """grid_sample_fused always produces correct output on any backend."""
-        import jax
-        from slowtv_monodepth_tpu.ops.pallas_sample import grid_sample_fused
-        from slowtv_monodepth_tpu.ops.sample import grid_sample
-        img = jax.random.uniform(jax.random.PRNGKey(0), (1, 8, 12, 3))
-        grid = jax.random.uniform(jax.random.PRNGKey(1), (1, 8, 12, 2)) * 2 - 1
-        a = grid_sample(img, grid, 'border')
-        b = grid_sample_fused(img, grid)
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
