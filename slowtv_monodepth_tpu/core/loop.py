@@ -94,6 +94,15 @@ class MonoDepthLoop:
         self.shard_id, self.num_shards = shard_id, num_shards
 
         tcfg = cfg.get('trainer', {})
+        # `trainer.matmul` mirrors the reference's
+        # torch.set_float32_matmul_precision (`api/train/train.py`): 'high'
+        # -> 3-pass bf16 MXU, 'medium' -> single-pass bf16, 'highest' ->
+        # full f32. Unset keeps JAX's default.
+        matmul = tcfg.get('matmul')
+        if matmul:
+            jax.config.update('jax_default_matmul_precision', {
+                'highest': 'float32', 'high': 'bfloat16_3x',
+                'medium': 'bfloat16'}.get(str(matmul), str(matmul)))
         self.max_epochs = tcfg.get('max_epochs', 60)
         self.log_every_n = tcfg.get('log_every_n_steps', 100)
         self.limit_val_batches = tcfg.get('limit_val_batches', 200)
