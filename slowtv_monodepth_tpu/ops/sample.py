@@ -165,7 +165,9 @@ def grid_sample(img: jnp.ndarray, grid: jnp.ndarray, padding_mode: str = 'border
     b, h, w, c = img.shape
     gh, gw = grid.shape[1:3]
 
-    if padding_mode == 'border' and h >= 2 and w >= 2 and _use_pallas_warp(img.shape):
+    if (padding_mode == 'border' and h >= 2 and w >= 2
+            and img.dtype == jnp.float32  # Kernel vreg tiling is f32-only.
+            and _use_pallas_warp(img.shape)):
         fx = jnp.clip(_unnormalize(grid[..., 0], w), 0.0, w - 1.0)
         fy = jnp.clip(_unnormalize(grid[..., 1], h), 0.0, h - 1.0)
         return _warp_pallas_core(img, fx, fy)
