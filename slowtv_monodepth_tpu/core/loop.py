@@ -178,7 +178,14 @@ class MonoDepthLoop:
     def _init_state(self, batch) -> None:
         x, _, m = batch
         supp_idxs = tuple(int(i) for i in x.get('supp_idxs', ()))
-        xd = {'imgs': jax.numpy.asarray(x['imgs'][:1])}
+        # Params are spatial-size agnostic; trace init on a multiple-of-32
+        # crop. The raw dataset shape may be conv-hostile (e.g. SlowTV's
+        # native 720x1280, which only ever reaches the nets after the
+        # aspect-ratio aug resizes it to a mult-of-32 bucket).
+        img = jax.numpy.asarray(x['imgs'][:1])
+        h32 = max(32, img.shape[1] // 32 * 32)
+        w32 = max(32, img.shape[2] // 32 * 32)
+        xd = {'imgs': img[:, :h32, :w32]}
         rng = jax.random.PRNGKey(self.cfg.get('seed', 42))
         self.state = self.trainer.init_state(rng, xd, supp_idxs, self.tx)
 

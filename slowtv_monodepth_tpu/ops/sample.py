@@ -12,10 +12,13 @@ Conventions (torch-parity, verified by golden tests vs torch CPU):
   weights (so out-of-image gradients w.r.t. the grid are zero, as in torch).
 - zeros padding: corners outside the image contribute zero.
 
-XLA compiles the 4 corner gathers into a single fused gather per batch; the
-VJP w.r.t. the image becomes a scatter-add, both of which map well onto TPU.
-A fully fused warp+photometric Pallas kernel builds on top of this op for the
-training hot loop (see `ops/pallas/`).
+Two execution paths, identical semantics:
+- TPU border mode (the training hot loop) runs the adaptive Pallas warp
+  kernel (`ops/pallas_warp.py`) via a custom_vjp whose grid gradient is a
+  pure elementwise product of the kernel's emitted ddx/ddy.
+- Everywhere else: a single packed XLA gather (the 4 bilinear corners ride
+  the channel axis via edge-replicated shifts — TPU gathers are
+  descriptor-rate bound, so one 4c-wide gather beats four c-wide ones ~4x).
 """
 from __future__ import annotations
 
@@ -27,16 +30,13 @@ __all__ = ['grid_sample']
 
 
 def _sample_border_fused(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
-    """Border-mode bilinear sample via ONE gather of (2, 2, c) slices.
+    """Border-mode bilinear sample via ONE packed-corner gather (XLA path).
 
-    TPU gathers are descriptor-rate bound (~20ns/index measured on v5e): four
-    independent corner gathers cost 4x the descriptors of one slice-gather
-    that fetches the whole 2x2 neighborhood per output pixel. Profiling the
-    KBR step showed the 4-gather formulation at ~72% of step time; this
-    fusion cuts the warp cost ~4x with bit-identical border semantics:
-    clamping the CONTINUOUS coordinate first (exactly torch's border mode)
-    lets the slice start be `clip(floor(coord), 0, size-2)` with the corner
-    weight `coord - start` in [0, 1].
+    Profiling the KBR step showed four independent corner gathers at ~72% of
+    step time (TPU gathers are descriptor-rate bound, ~20ns/index on v5e);
+    packing the 2x2 neighborhood into the operand channels makes it one
+    gather. Border semantics: clamp the CONTINUOUS coordinate first (exactly
+    torch's border mode) and edge-replicate the +1 shifts.
 
     :param img: (b, h, w, c); :param x/y: (b, n) pixel coords (unclamped).
     :return: (b, n, c) samples.

@@ -151,3 +151,19 @@ class TestCallbacks:
         loop = MonoDepthLoop(cfg, tmp_path / 'run')
         loop.fit()
         assert (tmp_path / 'run' / 'swa').is_dir()
+
+
+def test_fit_with_conv_hostile_native_shape(slowtv_root, tmp_path):
+    """SlowTV-style training where the NATIVE dataset shape is not a
+    multiple of 32 (like real 720x1280): only the AR-aug's mult-of-32
+    buckets may ever reach the nets — including at init (regression:
+    init_state used to trace on the raw shape and crash the decoder's skip
+    concat)."""
+    cfg = make_cfg()
+    cfg['dataset']['slow_tv']['train']['shape'] = [40, 72]
+    cfg['trainer']['aspect_ratio_aug_prob'] = 1.0
+    cfg['trainer']['aspect_ratio_ref_shape'] = [32, 64]
+    cfg['trainer']['max_epochs'] = 1
+    loop = MonoDepthLoop(cfg, tmp_path / 'run_hostile', writer=_Writer())
+    loop.fit()
+    assert (tmp_path / 'run_hostile' / 'finished').is_file()
