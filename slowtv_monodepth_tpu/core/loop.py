@@ -27,6 +27,7 @@ from pathlib import Path
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from .. import LOGGER, parsers
@@ -209,6 +210,42 @@ class MonoDepthLoop:
             return global_batch_sharding(self.mesh, (x, y))
         return jax.device_put((x, y))
 
+    def _precompile_buckets(self) -> None:
+        """AOT-compile the train step for every aspect-ratio-aug bucket.
+
+        XLA compiles once per unique batch shape; with the persistent compile
+        cache this front-loads the whole (bounded) shape family instead of
+        stalling training at each first occurrence. Opt in with
+        `trainer.precompile_buckets: True`.
+        """
+        from .aspect_ratio import all_output_shapes
+        tcfg = self.cfg.get('trainer', {})
+        ref = tcfg.get('aspect_ratio_ref_shape')
+        if not ref:
+            return
+        b = self.cfg['loader']['batch_size']
+        for name, dcfg in self.cfg['dataset'].items():
+            shape = (dcfg.get('train') or {}).get('shape') or dcfg.get('shape')
+            supp = tuple(dcfg.get('supp_idxs', ()))
+            if not shape or not supp:
+                continue
+            buckets = sorted(all_output_shapes(
+                [shape], ref, tcfg.get('aspect_ratio_min', 0.5),
+                tcfg.get('aspect_ratio_max', 1.0)))
+            LOGGER.info(f'Precompiling {len(buckets)} buckets for "{name}"...')
+            step = self._step_fn(supp, train=True)
+            for h, w in buckets:
+                imgs = jnp.zeros((b, h, w, 3), jnp.float32)
+                sup = jnp.zeros((len(supp), b, h, w, 3), jnp.float32)
+                K = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (b, 4, 4))
+                x = {'imgs': imgs, 'supp_imgs': sup}
+                y = {'imgs': imgs, 'supp_imgs': sup, 'K': K}
+                try:
+                    step.lower(self.state, x, y,
+                               jax.random.PRNGKey(0)).compile()
+                except AttributeError:  # Non-jitted step (mesh wrapper).
+                    return
+
     # ------------------------------------------------------------------- fit
     def fit(self) -> None:
         try:
@@ -216,6 +253,8 @@ class MonoDepthLoop:
                 # Initialize (and maybe resume) from the first batch's shapes
                 # before the epoch loop so `start_epoch` is honored.
                 self._init_state(next(iter(self.train_dl)))
+            if self.cfg.get('trainer', {}).get('precompile_buckets'):
+                self._precompile_buckets()
             for epoch in range(self.start_epoch, self.max_epochs):
                 if self.manager:
                     self.manager.on_epoch_start(epoch)

@@ -167,3 +167,15 @@ def test_fit_with_conv_hostile_native_shape(slowtv_root, tmp_path):
     loop = MonoDepthLoop(cfg, tmp_path / 'run_hostile', writer=_Writer())
     loop.fit()
     assert (tmp_path / 'run_hostile' / 'finished').is_file()
+
+
+def test_precompile_buckets(slowtv_root, tmp_path):
+    """trainer.precompile_buckets AOT-compiles every AR-aug bucket upfront."""
+    cfg = make_cfg()
+    cfg['trainer']['aspect_ratio_aug_prob'] = 1.0
+    cfg['trainer']['aspect_ratio_ref_shape'] = [32, 64]
+    cfg['trainer']['precompile_buckets'] = True
+    cfg['trainer']['max_epochs'] = 1
+    loop = MonoDepthLoop(cfg, tmp_path / 'run_pc', writer=_Writer())
+    loop.fit()
+    assert (tmp_path / 'run_pc' / 'finished').is_file()
