@@ -24,6 +24,7 @@ class AutoencoderNet(nn.Module):
     pretrained: bool = True
     dec_name: str = 'monodepth'
     out_scales: Union[int, Sequence[int]] = (0, 1, 2, 3)
+    gelu: str = 'exact'
 
     @property
     def out_sc(self) -> Sequence[int]:
@@ -32,7 +33,8 @@ class AutoencoderNet(nn.Module):
     def setup(self):
         if self.dec_name not in DEC_REG:
             raise KeyError(f'Invalid decoder. ({self.dec_name} vs. {list(DEC_REG)})')
-        self.encoder, self.num_ch_enc, self.enc_sc = create_encoder(self.enc_name)
+        self.encoder, self.num_ch_enc, self.enc_sc = create_encoder(
+            self.enc_name, gelu=self.gelu)
         self.decoder = DEC_REG[self.dec_name](
             num_ch_enc=self.num_ch_enc, enc_sc=self.enc_sc,
             upsample_mode='nearest', use_skip=False,

@@ -36,6 +36,8 @@ class DepthNet(nn.Module):
     :param num_ch_mask: Number of support frames to predict masks for.
     :param use_virtual_stereo: If True, also predict stereo-pair disparity.
     :param use_stereo_blend: If True, blend predictions with a flipped pass.
+    :param gelu: {'exact', 'tanh'} GELU flavor for GELU-based encoders
+        (TPU-fast training option; see `encoders.create_encoder`).
     """
     enc_name: str = 'resnet18'
     pretrained: bool = True
@@ -45,6 +47,7 @@ class DepthNet(nn.Module):
     num_ch_mask: Optional[int] = None
     use_virtual_stereo: bool = False
     use_stereo_blend: bool = False
+    gelu: str = 'exact'
 
     @property
     def out_sc(self) -> Sequence[int]:
@@ -60,7 +63,8 @@ class DepthNet(nn.Module):
         if self.mask_name and (self.num_ch_mask or 0) <= 0:
             raise ValueError(f'Invalid number of mask channels. ({self.num_ch_mask} vs. >=1)')
 
-        self.encoder, self.num_ch_enc, self.enc_sc = create_encoder(self.enc_name)
+        self.encoder, self.num_ch_enc, self.enc_sc = create_encoder(
+            self.enc_name, gelu=self.gelu)
         cls = DEC_REG[self.dec_name]
         self.decoder_disp = cls(
             num_ch_enc=self.num_ch_enc, enc_sc=self.enc_sc,

@@ -24,11 +24,16 @@ ENCODER_SPECS = {**RESNET_SPECS, **CONVNEXT_SPECS, **VIT_SPECS, **SWIN_SPECS,
                  **BEIT_SPECS, **MBNET_SPECS, **HRNET_SPECS}
 
 
-def create_encoder(name: str, in_chans: int = 3):
+def create_encoder(name: str, in_chans: int = 3, gelu: str = 'exact'):
     """Build an encoder module by timm-style name (e.g. 'resnet18', 'convnext_base').
 
+    :param gelu: {'exact', 'tanh'} — GELU flavor for GELU-based encoders
+        (ConvNeXt). 'tanh' is the TPU-fast training option (see
+        `ConvNeXtEncoder` docstring); encoders without GELU ignore it.
     :return: (module, channels per stage, reduction per stage)
     """
+    if gelu not in ('exact', 'tanh'):
+        raise KeyError(f'Invalid gelu flavor. ({gelu} vs. ("exact", "tanh"))')
     if name in RESNET_SPECS:
         spec = RESNET_SPECS[name]
         enc = ResNetEncoder(block=spec['block'], layers=spec['layers'],
@@ -37,7 +42,8 @@ def create_encoder(name: str, in_chans: int = 3):
                             in_chans=in_chans)
     elif name in CONVNEXT_SPECS:
         spec = CONVNEXT_SPECS[name]
-        enc = ConvNeXtEncoder(depths=spec['depths'], dims=spec['dims'], in_chans=in_chans)
+        enc = ConvNeXtEncoder(depths=spec['depths'], dims=spec['dims'], in_chans=in_chans,
+                              gelu_approx=(gelu == 'tanh'))
     elif name in MBNET_SPECS:
         spec = MBNET_SPECS[name]
         enc = MBNetEncoder(stem=spec['stem'], stages=spec['stages'],

