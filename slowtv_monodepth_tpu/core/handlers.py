@@ -76,7 +76,12 @@ def image_recon(crit, depths: dict, masks: Optional[dict], imgs: jnp.ndarray,
     Ks_s = _tile_scales(Ks, n_sc)                         # (s*b, 4, 4)
 
     warped = _batched_synth(supp_s, depths_s, Ts_s, Ks_s)  # (n, s*b, h, w, 3)
-    loss, ld = crit(warped, imgs_s, source=supp_s, mask=masks_s, rng=rng)
+    # The automask static error is scale-independent: pass the UNTILED support
+    # frames so the crit computes it once per base batch and tiles (bitwise
+    # identical, skips 3/4 of that full-res SSIM). Predicted weighting masks
+    # differ per scale, so that path keeps the tiled source.
+    src = supp_imgs if masks_s is None else supp_s
+    loss, ld = crit(warped, imgs_s, source=src, mask=masks_s, rng=rng)
 
     ld = {k: v[:b] for k, v in ld.items()}  # Scale 0 only.
     ld['supp_imgs_warp'] = warped[:, :b]

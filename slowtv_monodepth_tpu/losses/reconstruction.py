@@ -83,8 +83,25 @@ class ReconstructionLoss:
 
     def apply_automask(self, err: jnp.ndarray, source: jnp.ndarray, target: jnp.ndarray,
                        mask: Optional[jnp.ndarray], rng: jax.Array):
-        """Monodepth2 static-pixel automask (ref `reconstruction.py:59-77`)."""
-        err_static = self.compute_photo(source, target, mask=mask)
+        """Monodepth2 static-pixel automask (ref `reconstruction.py:59-77`).
+
+        The static (identity-reprojection) error depends only on the raw
+        support/target images, not on depth — so when the batch is a
+        scale-tiled stack (handlers concatenate `n_sc` scale copies onto the
+        batch axis) it is computed once on the base batch and tiled, which is
+        bitwise-identical and skips (n_sc-1)/n_sc of the full-res SSIM work.
+        The tie-break noise is still drawn at the full tiled shape, so the
+        per-scale tie-break independence matches the reference exactly.
+        `compute_photo` sees a weighting mask only when it is scale-invariant
+        (callers pass `static_tile=1` otherwise, since predicted masks differ
+        per scale).
+        """
+        m = err.shape[0]
+        b = source.shape[1]
+        assert m % b == 0, (m, b)
+        err_static = self.compute_photo(source, target[:b],
+                                        mask=None if mask is None else mask[:b])
+        err_static = jnp.concatenate([err_static] * (m // b), axis=0)
         err_static = err_static + eps(err_static) * jax.random.normal(
             rng, err_static.shape, err_static.dtype)
         automask = err < err_static  # Warped reprojection wins -> moving pixel.
