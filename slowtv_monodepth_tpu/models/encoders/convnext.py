@@ -14,7 +14,39 @@ from typing import Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
+from ...ops.pallas_dwconv import depthwise_conv
+
 __all__ = ['ConvNeXtEncoder', 'CONVNEXT_SPECS']
+
+
+class _DepthwiseConv(nn.Module):
+    """7x7 depthwise conv with `nn.Conv(feature_group_count=dim)` param
+    layout (kernel (k, k, 1, dim), bias (dim,)) so checkpoints interchange.
+
+    Set SLOWTV_ENABLE_PALLAS_DWCONV=1 to dispatch to the Pallas kernel
+    (`ops/pallas_dwconv`). Measured on v5e: the kernel bodies are roofline-
+    fine, but one pallas_call per dwconv means ~108 launches per KBR step and
+    the per-launch overhead makes the FULL STEP slower (131.5 -> 140.4 ms)
+    than XLA's in-context fused dwconvs — so the default stays XLA. Only
+    once-per-step mega-kernels (the warp, `ops/pallas_warp.py`) amortize
+    launch overhead on this runtime.
+    """
+    dim: int
+    kernel: int = 7
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        import os
+        k = self.param('kernel', nn.initializers.lecun_normal(),
+                       (self.kernel, self.kernel, 1, self.dim), x.dtype)
+        b = self.param('bias', nn.initializers.zeros, (self.dim,), x.dtype)
+        if os.environ.get('SLOWTV_ENABLE_PALLAS_DWCONV'):
+            return depthwise_conv(x, k, b)
+        import jax.lax as lax
+        return lax.conv_general_dilated(
+            x, k, (1, 1), 'SAME',
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+            feature_group_count=self.dim) + b
 
 
 CONVNEXT_SPECS = {
@@ -45,9 +77,8 @@ class ConvNeXtBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         shortcut = x
-        # Depthwise 7x7.
-        x = nn.Conv(self.dim, (7, 7), padding=3, feature_group_count=self.dim,
-                    name='conv_dw')(x)
+        # Depthwise 7x7 (Pallas kernel on TPU; same param tree as nn.Conv).
+        x = _DepthwiseConv(self.dim, name='conv_dw')(x)
         x = nn.LayerNorm(epsilon=1e-6, name='norm')(x)
         x = nn.Dense(4 * self.dim, name='mlp_fc1')(x)
         x = nn.gelu(x, approximate=self.gelu_approx)
