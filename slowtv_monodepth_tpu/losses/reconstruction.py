@@ -76,7 +76,10 @@ class ReconstructionLoss:
         if pred.ndim == 4:
             err = self._photo(pred, target)  # (b, h, w, 1)
         else:
-            err = jax.vmap(self._photo, in_axes=(0, None))(pred, target)  # (n, b, h, w, 1)
+            # The photometric errors accept the (n, b, ...) stack natively
+            # (PhotoError fuses it into one Pallas launch on TPU; L1/L2
+            # broadcast), so no vmap indirection here.
+            err = self._photo(pred, target)  # (n, b, h, w, 1)
             err = jnp.moveaxis(err[..., 0], 0, -1)  # (b, h, w, n)
         err = self.apply_mask(err, mask)
         return self._reduce(err)
