@@ -67,10 +67,13 @@ class MonoDepthTrainer:
         # TPU mixed precision: 'bf16' runs network forward/backward in
         # bfloat16 (master params and losses stay f32). Unlike the fp16 that
         # NaN'd the reference (`cfg/default.yaml:174`), bf16 keeps the f32
-        # exponent range, so no loss scaling is needed. NOTE: measured on
-        # v5e, f32 storage is NOT slower — XLA already executes f32
-        # convs/matmuls in bf16 on the MXU (DEFAULT precision), so this flag
-        # buys activation-memory headroom (bigger batches), not step time.
+        # exponent range, so no loss scaling is needed. Measured on v5e
+        # (KBR step, batch 4 @ 384x640): 127.5 -> 109.0 ms (+17%) once the
+        # warp/photometric Pallas kernels removed the f32 loss bottlenecks —
+        # the win is halved activation HBM traffic and no f32<->bf16 convert
+        # passes around the MXU. (An earlier measurement taken while the
+        # step was warp-gather-bound showed no win; that conclusion was
+        # bottleneck-masking, not a property of bf16.)
         self.precision = str(tcfg.get('precision', 32))
         # Rematerialization: recompute network activations in the backward
         # pass instead of storing them (jax.checkpoint), trading ~30% step
