@@ -32,7 +32,10 @@ import jax.numpy as jnp
 
 A100_PYTORCH_IMGS_PER_SEC_ESTIMATE = 30.0
 
-B, H, W = 4, 384, 640
+# Batch 8 without grad accumulation = the reference's effective batch
+# (4 x accumulate 2) as one real step — SGD-identical, and the TPU recipe
+# (cfg/kbr/tpu.yaml): bf16 activations fit the whole batch in 16GB HBM.
+B, H, W = 8, 384, 640
 WARMUP, ITERS = 3, 10
 
 
