@@ -5,12 +5,15 @@ conv3x3+ELU], with per-scale 3x3 output convs + activation.
 """
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ... import register
+from ...ops.pallas_decoder import decoder_stage_supported, fused_upconv_stage
 from .utils import ACT, ConvBlock, conv3x3, upsample2x
 
 __all__ = ['MonodepthDecoder']
@@ -46,11 +49,25 @@ class MonodepthDecoder(nn.Module):
         out = {}
         x = feat[-1]
         for i in range(4, -1, -1):
+            sf = 2 ** i  # Skip resolution = current scale upsampled x2.
+            has_skip = self.use_skip and sf in self.enc_sc
+
+            if self._use_fused_stage(x, i, has_skip):
+                # Skip-less sigmoid stage on TPU: one fused Pallas launch
+                # (conv+up2+conv+outconv on the MXU, `ops/pallas_decoder`).
+                # Params are created by the unfused path during init, so the
+                # tree is identical and checkpoints interchange.
+                p = self.get_variable('params', f'upconv_{i}_0')['conv']['conv']
+                p1 = self.get_variable('params', f'upconv_{i}_1')['conv']['conv']
+                po = self.get_variable('params', f'outconv_{i}')['conv']
+                x, out[i] = fused_upconv_stage(
+                    x, p['kernel'], p['bias'], p1['kernel'], p1['bias'],
+                    po['kernel'], po['bias'])
+                continue
+
             x = ConvBlock(self.num_ch_dec[i], name=f'upconv_{i}_0')(x)
             x = [upsample2x(x, self.upsample_mode)]
-
-            sf = 2 ** i  # Skip resolution = current scale upsampled x2.
-            if self.use_skip and sf in self.enc_sc:
+            if has_skip:
                 x += [feat[list(self.enc_sc).index(sf)]]
 
             x = jnp.concatenate(x, axis=-1)
@@ -59,3 +76,22 @@ class MonodepthDecoder(nn.Module):
             if i in self.out_sc:
                 out[i] = act(conv3x3(self.out_ch, name=f'outconv_{i}')(x))
         return out
+
+    def _use_fused_stage(self, x: jnp.ndarray, i: int, has_skip: bool) -> bool:
+        """Fused-kernel dispatch for one decoder stage (TPU apply only).
+
+        Opt-in (SLOWTV_ENABLE_PALLAS_DEC): the fused stage measured only +1%
+        on the KBR step (41.8 vs 41.5 imgs/s; the backward's per-tap col2im
+        dots and the 6-row halo recompute eat the MXU win), so the default
+        stays XLA until the backward is tightened. See `ops/pallas_decoder`.
+        """
+        if self.is_initializing() or not os.environ.get('SLOWTV_ENABLE_PALLAS_DEC'):
+            return False
+        if has_skip or i not in self.out_sc or self.out_ch != 1:
+            return False
+        if self.upsample_mode != 'nearest' or self.out_act != 'sigmoid':
+            return False
+        backend = ('tpu' if os.environ.get('SLOWTV_FORCE_PALLAS_DEC')
+                   else jax.default_backend())
+        return decoder_stage_supported(x.shape, self.num_ch_dec[i], backend,
+                                       itemsize=jnp.dtype(x.dtype).itemsize)
