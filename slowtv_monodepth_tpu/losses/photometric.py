@@ -103,8 +103,6 @@ class PhotoError:
 
     def __call__(self, pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
         if self._fused_ok(pred):
-            import jax.numpy as _jnp  # noqa: F401 (kept local to the hot path)
-
             from ..ops.pallas_photo import photo_err_ssim
             if pred.ndim == 5:
                 n = pred.shape[0]

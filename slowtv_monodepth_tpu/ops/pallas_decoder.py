@@ -41,7 +41,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ['fused_upconv_stage', 'decoder_stage_supported']
 
-_RB = 16          # x-level rows per band (output rows per band = 2*_RB).
 _CH = 4           # im2col chunk rows.
 
 
@@ -407,7 +406,10 @@ def _stage_fwd_jit(x, wa, ba, wb, bb, wo, bo, interpret: bool):
     cd = wa.shape[-1]
     xp, wp, wp2 = _pads(x)
     w2 = 2 * w
-    rb = _pick_rb(x.shape, cd) or _RB
+    rb = _pick_rb(x.shape, cd, jnp.dtype(x.dtype).itemsize)
+    if rb is None:
+        raise ValueError(f'Unsupported stage shape for the fused kernel: '
+                         f'{x.shape} -> cd={cd} (use decoder_stage_supported)')
     nb = h // rb
     kern = functools.partial(_fwd_kernel, rb=rb, w=w, w2=w2, wp=wp, wp2=wp2)
     xspec = lambda f: pl.BlockSpec(                     # noqa: E731
@@ -449,7 +451,10 @@ def _stage_bwd_jit(x, wa, ba, wb, bb, wo, bo, disp, g_feat, g_disp,
     cd = wa.shape[-1]
     xp, wp, wp2 = _pads(x)
     w2 = 2 * w
-    rb = _pick_rb(x.shape, cd) or _RB
+    rb = _pick_rb(x.shape, cd, jnp.dtype(x.dtype).itemsize)
+    if rb is None:
+        raise ValueError(f'Unsupported stage shape for the fused kernel: '
+                         f'{x.shape} -> cd={cd} (use decoder_stage_supported)')
     nb = h // rb
     gfp = jnp.pad(g_feat, ((0, 0), (0, 0), (0, wp2 - w2), (0, 0)))
     gdp = jnp.pad(g_disp[..., 0], ((0, 0), (0, 0), (0, wp2 - w2)))
