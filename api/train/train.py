@@ -29,7 +29,36 @@ from slowtv_monodepth_tpu.parallel import (  # noqa: E402
 from slowtv_monodepth_tpu.paths import MODEL_ROOTS  # noqa: E402
 
 
-def make_writer(kind: str, log_dir: Path):
+class WandbWriter:
+    """SummaryWriter-shaped adapter over `wandb.log` (ref `api/train/train.py:46-49`,
+    WandbLogger). Exposes the three methods the loop/HeavyLogger drive:
+    add_scalar / add_images (NCHW grid) / add_text."""
+
+    def __init__(self, log_dir: Path, project: str = 'slowtv_monodepth_tpu',
+                 name: str | None = None, wandb_module=None):
+        if wandb_module is None:
+            import wandb as wandb_module
+        self._wandb = wandb_module
+        self._run = wandb_module.init(project=project, name=name,
+                                      dir=str(log_dir), resume=None)
+
+    def add_scalar(self, tag, value, global_step=None):
+        self._wandb.log({tag: float(value)}, step=global_step)
+
+    def add_images(self, tag, imgs, global_step=None):
+        import numpy as np
+        imgs = np.asarray(imgs)  # (b, c, h, w) -> HWC wandb Images
+        ims = [self._wandb.Image(np.transpose(im, (1, 2, 0))) for im in imgs]
+        self._wandb.log({tag: ims}, step=global_step)
+
+    def add_text(self, tag, text, global_step=None):
+        self._wandb.log({tag: str(text)}, step=global_step)
+
+    def close(self):
+        self._wandb.finish()
+
+
+def make_writer(kind: str, log_dir: Path, name: str | None = None):
     if kind == 'tensorboard':
         from tensorboardX import SummaryWriter
         return SummaryWriter(str(log_dir))
@@ -40,6 +69,8 @@ def make_writer(kind: str, log_dir: Path):
             LOGGER.warning('wandb unavailable; falling back to tensorboard.')
             from tensorboardX import SummaryWriter
             return SummaryWriter(str(log_dir))
+        log_dir.mkdir(parents=True, exist_ok=True)
+        return WandbWriter(log_dir, name=name)
     raise ValueError(f'Logger "{kind}" not supported. ({{tensorboard, wandb}})')
 
 
@@ -67,7 +98,7 @@ def main():
     save_dir.mkdir(parents=True, exist_ok=True)
 
     writer = make_writer(cfg.get('trainer', {}).get('logger', 'tensorboard'),
-                         save_dir / 'logs')
+                         save_dir / 'logs', name=f'{args.name}_{version}')
 
     initialize_distributed()  # No-op single host; joins TPU pods otherwise.
     import jax

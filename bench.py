@@ -32,6 +32,23 @@ import jax.numpy as jnp
 
 A100_PYTORCH_IMGS_PER_SEC_ESTIMATE = 30.0
 
+# Peak dense bf16 FLOP/s per chip by `device_kind` substring (public specs:
+# v4 275, v5e 197, v5p 459, v6e 918 TFLOP/s). MFU = measured FLOP/s / peak.
+PEAK_BF16_FLOPS = (
+    ('v6 lite', 918e12), ('v6e', 918e12),
+    ('v5 lite', 197e12), ('v5e', 197e12),
+    ('v5p', 459e12), ('v5', 459e12),
+    ('v4', 275e12),
+)
+
+
+def peak_flops(device_kind: str) -> float:
+    kind = device_kind.lower()
+    for sub, peak in PEAK_BF16_FLOPS:
+        if sub in kind:
+            return peak
+    return 197e12  # Unknown chip: assume v5e-class (the bench target).
+
 # Batch 8 without grad accumulation = the reference's effective batch
 # (4 x accumulate 2) as one real step — SGD-identical, and the TPU recipe
 # (cfg/kbr/tpu.yaml): bf16 activations fit the whole batch in 16GB HBM.
@@ -59,8 +76,11 @@ def main():
             'img_recon': {'weight': 1, 'use_min': True, 'use_automask': True},
             'disp_smooth': {'weight': 0.001, 'use_edges': True},
         },
-        'optimizer': {'type': 'adamw', 'lr': 1e-4, 'weight_decay': 1e-3,
-                      'backbone_lr': 1e-5},
+        # Exactly the KBR recipe's optimizer + scheduler (cfg/kbr/default.yaml;
+        # tpu.yaml changes nets/precision/batch only).
+        'optimizer': {'type': 'adamw', 'lr': 1e-4, 'weight_decay': 1e-3},
+        'scheduler': {'steplr': {'step_size': 40, 'gamma': 0.1},
+                      'linear': {'start_factor': 0.1, 'total_iters': 4}},
         # bf16 net fwd/bwd (f32 master params/losses) per cfg/kbr/tpu.yaml:
         # measured +17% on v5e with no fp16-style stability tradeoffs.
         'trainer': {'min_depth': 0.1, 'max_depth': 100, 'always_fwd_pose': False,
@@ -87,6 +107,15 @@ def main():
         x, y = shard_batch(mesh, (x, y))
     step = make_train_step(trainer, supp_idxs, tx, mesh=mesh, donate=True)
 
+    # Analytic per-step FLOPs from XLA's cost model of the *compiled* step
+    # (encoders + decoders + losses, fwd + bwd + optimizer — everything in the
+    # jitted graph). This is the FLOP model behind the reported MFU; spot-check:
+    # a (512,512)x(512,512) matmul reports exactly 2*512^3.
+    compiled = step.lower(state, x, y, jax.random.PRNGKey(0)).compile()
+    ca = compiled.cost_analysis()
+    ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+    step_flops = float(ca.get('flops', 0.0)) if ca else 0.0
+
     # IMPORTANT: fetch the loss to host to synchronize. Over the axon TPU
     # tunnel `jax.block_until_ready` returns without waiting for device
     # execution (measured: "blocked" steps report ~7 ms while a host fetch
@@ -96,13 +125,13 @@ def main():
     # device compute; every timed step still fully completes before `dt`.
     rngs = [jax.random.PRNGKey(100 + i) for i in range(WARMUP + ITERS)]
     for i in range(WARMUP):
-        state, scalars = step(state, x, y, rngs[i])
+        state, scalars = compiled(state, x, y, rngs[i])
     float(scalars['loss'])
 
     t0 = time.perf_counter()
     prev = None
     for i in range(ITERS):
-        state, scalars = step(state, x, y, rngs[WARMUP + i])
+        state, scalars = compiled(state, x, y, rngs[WARMUP + i])
         if prev is not None:
             float(prev)
         prev = scalars['loss']
@@ -111,11 +140,17 @@ def main():
 
     imgs_per_sec = B * ITERS / dt
     per_chip = imgs_per_sec / max(n_dev, 1)
+    peak = peak_flops(jax.devices()[0].device_kind)
+    mfu = (step_flops * ITERS / dt) / (peak * max(n_dev, 1))
     print(json.dumps({
         'metric': 'kbr_train_imgs_per_sec_per_chip',
         'value': round(per_chip, 3),
         'unit': 'imgs/sec/chip',
         'vs_baseline': round(per_chip / A100_PYTORCH_IMGS_PER_SEC_ESTIMATE, 3),
+        'mfu': round(mfu, 4),
+        'step_flops': step_flops,
+        'flops_per_img': round(step_flops / B),
+        'peak_flops': peak,
     }))
 
 

@@ -78,7 +78,8 @@ def load_checkpoint(path, state: Optional[TrainState] = None):
 
     new_state = TrainState(
         step=jax.numpy.asarray(tree['step'], jax.numpy.int32),
-        params=tree['params'], aux=tree['aux'], opt_state=tree['opt_state'])
+        params=tree['params'], aux=tree['aux'], opt_state=tree['opt_state'],
+        bad_step=jax.numpy.asarray(-1, jax.numpy.int32))
     return new_state, meta
 
 

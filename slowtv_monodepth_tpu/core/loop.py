@@ -307,11 +307,11 @@ class MonoDepthLoop:
             if self.global_step % self.log_every_n == 0:
                 self._log('train', scalars, m)
 
-        # Epoch-end anomaly check (sync point; per-step checks would stall TPU).
+        # Epoch-end anomaly check (sync point; the carried `bad_step` flag
+        # reports the FIRST bad step, not just the last one of the epoch).
         if last_scalars is not None:
-            loss = float(last_scalars['loss'])
-            if not math.isfinite(loss):
-                raise ValueError(f'Detected NaN/Infinite loss: "{loss}"')
+            float(last_scalars['loss'])  # Sync before reading the flag.
+            self._check_anomaly()
 
         if self.heavy_logger is not None and 'train' in self.current_batch:
             batch, supp_idxs = self.current_batch['train']
@@ -343,8 +343,17 @@ class MonoDepthLoop:
         return metrics
 
     # ---------------------------------------------------------------- logging
+    def _check_anomaly(self) -> None:
+        """Raise if any step since init saw a non-finite loss (device-side
+        `bad_step` tripwire; reference `DetectAnomaly`, `src/utils/callbacks.py:27-31`).
+        Only called where a host fetch happens anyway — zero steady-state cost."""
+        bad = getattr(self.state, 'bad_step', None) if self.state is not None else None
+        if bad is not None and int(bad) >= 0:
+            raise ValueError(f'Detected NaN/Infinite loss (first at step {int(bad)})')
+
     def _log(self, mode: str, scalars: dict, m: dict) -> None:
         vals = {k: float(v) for k, v in scalars.items()}
+        self._check_anomaly()
         loss = vals.get('loss', float('nan'))
         if not math.isfinite(loss):
             raise ValueError(f'Detected NaN/Infinite loss: "{loss}"')

@@ -49,6 +49,12 @@ class TrainState(flax.struct.PyTreeNode):
     params: Any      # {net_key: param tree}
     aux: Any         # {net_key: {'batch_stats': ...}} (may be empty dicts)
     opt_state: Any
+    # Device-side anomaly tripwire: index of the FIRST step whose loss was
+    # non-finite (-1 = clean). The reference's `DetectAnomaly` raises every
+    # step (`src/utils/callbacks.py:27-31`); a per-step host sync would stall
+    # the TPU, so the flag rides in the carried state at zero steady-state
+    # cost and the loop raises (with the exact step index) at its next fetch.
+    bad_step: Any = None
 
 
 class MonoDepthTrainer:
@@ -380,7 +386,8 @@ class MonoDepthTrainer:
 
         opt_state = tx.init(params) if tx is not None else None
         return TrainState(step=jnp.asarray(0, jnp.int32), params=params,
-                          aux=aux, opt_state=opt_state)
+                          aux=aux, opt_state=opt_state,
+                          bad_step=jnp.asarray(-1, jnp.int32))
 
     def make_step_fn(self, supp_idxs: tuple, tx: optax.GradientTransformation,
                      train: bool = True):
@@ -398,8 +405,13 @@ class MonoDepthTrainer:
                     state.params, state.aux, x, y, supp_idxs, rng, True)
                 updates, new_opt = tx.update(grads, state.opt_state, state.params)
                 new_params = optax.apply_updates(state.params, updates)
+                bad = state.bad_step
+                if bad is not None:
+                    bad = jnp.where((bad < 0) & ~jnp.isfinite(loss),
+                                    state.step, bad)
                 new_state = state.replace(step=state.step + 1, params=new_params,
-                                          aux=new_aux, opt_state=new_opt)
+                                          aux=new_aux, opt_state=new_opt,
+                                          bad_step=bad)
             else:
                 loss, (ld, fwd, _) = self.loss_fn(
                     state.params, state.aux, x, y, supp_idxs, rng, False)

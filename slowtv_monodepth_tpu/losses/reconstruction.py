@@ -95,13 +95,15 @@ class ReconstructionLoss:
         bitwise-identical and skips (n_sc-1)/n_sc of the full-res SSIM work.
         The tie-break noise is still drawn at the full tiled shape, so the
         per-scale tie-break independence matches the reference exactly.
-        `compute_photo` sees a weighting mask only when it is scale-invariant
-        (callers pass `static_tile=1` otherwise, since predicted masks differ
-        per scale).
+        Convention: handlers pass the scale-tiled source whenever a predicted
+        mask is present (then `m == b` and the tiling below is a no-op); an
+        untiled source is only ever passed with `mask=None`, so `mask[:b]`
+        never truncates a per-scale mask stack. Enforced by the assert.
         """
         m = err.shape[0]
         b = source.shape[1]
         assert m % b == 0, (m, b)
+        assert mask is None or m == b, (m, b)
         err_static = self.compute_photo(source, target[:b],
                                         mask=None if mask is None else mask[:b])
         err_static = jnp.concatenate([err_static] * (m // b), axis=0)

@@ -37,9 +37,13 @@ class _DepthwiseConv(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         import os
+        # Master params always f32 (matches flax nn.Conv's param_dtype even
+        # when the block runs in bf16); cast to the activation dtype per call.
         k = self.param('kernel', nn.initializers.lecun_normal(),
-                       (self.kernel, self.kernel, 1, self.dim), x.dtype)
-        b = self.param('bias', nn.initializers.zeros, (self.dim,), x.dtype)
+                       (self.kernel, self.kernel, 1, self.dim), jnp.float32)
+        b = self.param('bias', nn.initializers.zeros, (self.dim,), jnp.float32)
+        k = k.astype(x.dtype)
+        b = b.astype(x.dtype)
         if os.environ.get('SLOWTV_ENABLE_PALLAS_DWCONV'):
             return depthwise_conv(x, k, b)
         import jax.lax as lax

@@ -135,6 +135,11 @@ def _path_has(path, name: str) -> bool:
     return any(name in str(getattr(p, 'key', getattr(p, 'name', p))) for p in path)
 
 
+def _decay_mask(params):
+    """timm `param_groups_weight_decay` split: decay only ndim>1 params."""
+    return jax.tree_util.tree_map(lambda p: jax.numpy.ndim(p) > 1, params)
+
+
 def get_sched(cfg: Optional[dict], lr: float, steps_per_epoch: int) -> Any:
     """Compose cfg schedulers into one optax schedule over *steps*.
 
@@ -187,9 +192,19 @@ def get_opt(cfg: dict, steps_per_epoch: int = 1, sched_cfg: Optional[dict] = Non
     blr = cfg.pop('backbone_lr', None)
     frozen_bn = cfg.pop('frozen_bn', False)
 
-    def make(lr_val):
+    def make(lr_val, filter_wd):
         sched = get_sched(sched_cfg, lr_val, steps_per_epoch)
-        return _OPTS[name](learning_rate=sched, **cfg)
+        kw = dict(cfg)
+        # timm `filter_bias_and_bn=True` semantics: the reference builds its
+        # optimizer via `create_optimizer_v2(module, ...)` (ref
+        # `src/tools/parsers.py:243`), which excludes biases and norm
+        # scales/biases (any ndim<=1 param) from weight decay. The KBR recipe
+        # (adamw, wd=1e-3, no backbone_lr) hits exactly this path. When
+        # `backbone_lr` creates explicit param groups the reference passes a
+        # plain list and timm does NOT filter — gate identically.
+        if filter_wd and kw.get('weight_decay') and name in ('adamw', 'lamb'):
+            kw['mask'] = _decay_mask
+        return _OPTS[name](learning_rate=sched, **kw)
 
     if blr:
         blr = float(blr) * lr_scale
@@ -197,12 +212,12 @@ def get_opt(cfg: dict, steps_per_epoch: int = 1, sched_cfg: Optional[dict] = Non
             raise ValueError('Backbone LR must be different from the main LR')
         LOGGER.info(f'Setting backbone LR to {blr} with base LR {lr}...')
         tx = optax.multi_transform(
-            {'backbone': make(blr), 'main': make(lr)},
+            {'backbone': make(blr, filter_wd=False), 'main': make(lr, filter_wd=False)},
             lambda params: jax.tree_util.tree_map_with_path(
                 lambda path, _: 'backbone' if _path_has(path, 'encoder') else 'main', params),
         )
     else:
-        tx = make(lr)
+        tx = make(lr, filter_wd=True)
 
     if frozen_bn:
         # Zero out grads on BatchNorm affine params (ref `parsers.py:225-231`).

@@ -42,11 +42,13 @@ def import_reference():
     _stub('kornia.filters', gaussian_blur2d=lambda *a, **k: None)
     _stub('wandb')
     _stub('lmdb')
-    class _Metric:  # torchmetrics.Metric stand-in (subclassed by ref metrics).
+    import torch.nn as _nn
+
+    class _Metric(_nn.Module):  # torchmetrics.Metric stand-in (subclassed by ref metrics).
         full_state_update = False
 
         def __init__(self, **kw):
-            pass
+            super().__init__()
 
         def add_state(self, name, default=None, dist_reduce_fx=None):
             setattr(self, name, default)
@@ -138,3 +140,120 @@ def import_reference_newcrfs():
         return NewCRFDepth
     except Exception:
         return None
+
+
+def install_timm_resnet18():
+    """Back the `timm` stub with a REAL torch resnet18 `features_only` model.
+
+    The environment has no timm, so `import_reference()` stubs
+    `timm.create_model` to return None — enough for code that never builds an
+    encoder. Full-trainer differentials need the reference networks to
+    actually run, so this installs a faithful torch implementation of timm's
+    `resnet18` feature backbone: same architecture (torchvision/timm ResNet-18
+    stem + 4 BasicBlock stages), same `features_only=True` contract (5 maps at
+    strides [2, 4, 8, 16, 32]: act1, layer1..layer4 — timm feature_info), and
+    the same state-dict key layout (`conv1.weight`, `layer1.0.conv1.weight`,
+    `layer1.0.downsample.0.weight`, ...) so `import_torch.convert_resnet`
+    applies unchanged. Returns the create_model function.
+    """
+    import torch.nn as nn
+
+    class BasicBlock(nn.Module):
+        def __init__(self, cin, cout, stride=1):
+            super().__init__()
+            self.conv1 = nn.Conv2d(cin, cout, 3, stride, 1, bias=False)
+            self.bn1 = nn.BatchNorm2d(cout)
+            self.relu = nn.ReLU(inplace=True)
+            self.conv2 = nn.Conv2d(cout, cout, 3, 1, 1, bias=False)
+            self.bn2 = nn.BatchNorm2d(cout)
+            self.downsample = None
+            if stride != 1 or cin != cout:
+                self.downsample = nn.Sequential(
+                    nn.Conv2d(cin, cout, 1, stride, bias=False),
+                    nn.BatchNorm2d(cout))
+
+        def forward(self, x):
+            identity = x if self.downsample is None else self.downsample(x)
+            out = self.relu(self.bn1(self.conv1(x)))
+            out = self.bn2(self.conv2(out))
+            return self.relu(out + identity)
+
+    class _FeatureInfo:
+        def channels(self):
+            return [64, 64, 128, 256, 512]
+
+        def reduction(self):
+            return [2, 4, 8, 16, 32]
+
+    class ResNet18Features(nn.Module):
+        def __init__(self, in_chans=3):
+            super().__init__()
+            self.conv1 = nn.Conv2d(in_chans, 64, 7, 2, 3, bias=False)
+            self.bn1 = nn.BatchNorm2d(64)
+            self.act1 = nn.ReLU(inplace=True)
+            self.maxpool = nn.MaxPool2d(3, 2, 1)
+
+            def stage(cin, cout, stride):
+                return nn.Sequential(BasicBlock(cin, cout, stride),
+                                     BasicBlock(cout, cout))
+
+            self.layer1 = stage(64, 64, 1)
+            self.layer2 = stage(64, 128, 2)
+            self.layer3 = stage(128, 256, 2)
+            self.layer4 = stage(256, 512, 2)
+            self.feature_info = _FeatureInfo()
+
+        def forward(self, x):
+            x = self.act1(self.bn1(self.conv1(x)))
+            feats = [x]
+            x = self.maxpool(x)
+            for layer in (self.layer1, self.layer2, self.layer3, self.layer4):
+                x = layer(x)
+                feats.append(x)
+            return feats
+
+    def create_model(name, features_only=True, pretrained=False, in_chans=3, **kw):
+        if name != 'resnet18' or not features_only or pretrained:
+            raise NotImplementedError(
+                f'shim only supports resnet18 features_only random-init (got {name})')
+        return ResNet18Features(in_chans=in_chans)
+
+    _stub('timm', create_model=create_model)
+    return create_model
+
+
+def make_create_optimizer_v2():
+    """Faithful `timm.optim.create_optimizer_v2` for opt='adamw'.
+
+    Replicates timm 0.6.x semantics the reference relies on
+    (`src/tools/parsers.py:243`): given an `nn.Module` with non-zero weight
+    decay and the default `filter_bias_and_bn=True`, biases and ndim<=1
+    params (norm scales/biases) go into a weight_decay=0 param group
+    (`param_groups_weight_decay`); an explicit param-group list passes
+    through unfiltered. The underlying optimizer for 'adamw' is
+    `torch.optim.AdamW` in timm as well.
+    """
+    import torch
+    import torch.nn as nn
+
+    def create_optimizer_v2(model_or_params, opt='sgd', lr=None,
+                            weight_decay=0.0, filter_bias_and_bn=True, **kw):
+        if opt != 'adamw':
+            raise NotImplementedError(f'shim only supports adamw (got {opt})')
+        params = model_or_params
+        if isinstance(model_or_params, nn.Module):
+            if weight_decay and filter_bias_and_bn:
+                decay, no_decay = [], []
+                for name, p in model_or_params.named_parameters():
+                    if not p.requires_grad:
+                        continue
+                    dst = no_decay if (p.ndim <= 1 or name.endswith('.bias')) else decay
+                    dst.append(p)
+                params = [{'params': no_decay, 'weight_decay': 0.0},
+                          {'params': decay, 'weight_decay': weight_decay}]
+                weight_decay = 0.0
+            else:
+                params = model_or_params.parameters()
+        return torch.optim.AdamW(params, lr=lr, weight_decay=weight_decay, **kw)
+
+    return create_optimizer_v2

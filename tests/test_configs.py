@@ -54,6 +54,42 @@ def test_benchmark_recipes_construct(variant):
     assert tx is not None
 
 
+def test_adamw_weight_decay_skips_bias_and_norm_params():
+    """timm `filter_bias_and_bn` parity: the reference's module-path optimizer
+    (`create_optimizer_v2(module)`, ref `src/tools/parsers.py:243`) excludes
+    ndim<=1 params (biases, LN/BN scales) from weight decay."""
+    import jax
+    import jax.numpy as jnp
+
+    params = {'encoder': {'kernel': jnp.ones((3, 3)), 'bias': jnp.ones((3,))},
+              'head': {'scale': jnp.ones((4,))}}
+    grads = jax.tree_util.tree_map(jnp.zeros_like, params)
+
+    tx = parsers.get_opt({'type': 'adamw', 'lr': 0.1, 'weight_decay': 0.1})
+    upd, _ = tx.update(grads, tx.init(params), params)
+    # Zero grads + fresh state: the only update is the decoupled decay term.
+    assert float(jnp.abs(upd['encoder']['kernel']).sum()) > 0
+    assert float(jnp.abs(upd['encoder']['bias']).sum()) == 0
+    assert float(jnp.abs(upd['head']['scale']).sum()) == 0
+
+
+def test_adamw_backbone_lr_path_decays_everything():
+    """With `backbone_lr` the reference passes explicit param-group lists and
+    timm does NOT filter — every param (incl. biases) decays. Gate identically."""
+    import jax
+    import jax.numpy as jnp
+
+    params = {'encoder': {'kernel': jnp.ones((3, 3)), 'bias': jnp.ones((3,))},
+              'head': {'scale': jnp.ones((4,))}}
+    grads = jax.tree_util.tree_map(jnp.zeros_like, params)
+
+    tx = parsers.get_opt({'type': 'adamw', 'lr': 0.1, 'weight_decay': 0.1,
+                          'backbone_lr': 0.01})
+    upd, _ = tx.update(grads, tx.init(params), params)
+    assert float(jnp.abs(upd['encoder']['bias']).sum()) > 0
+    assert float(jnp.abs(upd['head']['scale']).sum()) > 0
+
+
 @pytest.mark.parametrize('f', sorted((CFG / 'eval').glob('*.yaml')) +
                          sorted((CFG / 'export').glob('*.yaml')),
                          ids=lambda p: f'{p.parent.name}/{p.stem}')

@@ -85,6 +85,31 @@ class TestTrainStep:
             lambda a, b: float(np.abs(np.asarray(a) - b).max()), state.params, p0)
         assert max(jax.tree_util.tree_leaves(diffs)) > 0
 
+    def test_nan_tripwire_reports_first_bad_step(self):
+        """Poisoned batch at step k -> `bad_step == k`, sticky through later
+        (also-NaN) steps, and `MonoDepthLoop._check_anomaly` raises with the
+        index (reference `DetectAnomaly` coverage without per-step syncs)."""
+        cfg = make_cfg()
+        batch = make_batch(jax.random.PRNGKey(1))
+        trainer = MonoDepthTrainer(cfg)
+        tx = parsers.make_optimizer(cfg)
+        state = trainer.init_state(jax.random.PRNGKey(0), batch[0], (-1, 1), tx)
+        step = make_train_step(trainer, (-1, 1), tx, donate=False)
+
+        bad_x = {**batch[0], 'imgs': batch[0]['imgs'].at[0, 0, 0, 0].set(jnp.nan)}
+        bad_y = {**batch[1], 'imgs': bad_x['imgs']}
+        k = 2
+        for i in range(4):
+            x, y = (bad_x, bad_y) if i == k else batch
+            state, scalars = step(state, x, y, jax.random.PRNGKey(i))
+        assert int(state.bad_step) == k
+
+        from slowtv_monodepth_tpu.core import MonoDepthLoop
+        loop = MonoDepthLoop.__new__(MonoDepthLoop)
+        loop.state = state
+        with pytest.raises(ValueError, match=f'first at step {k}'):
+            loop._check_anomaly()
+
     def test_learn_K(self):
         """KBR: pose net predicts K; fx/cx scalars present & finite."""
         cfg = make_cfg(net={'pose': {'enc_name': 'resnet18', 'pretrained': False,
