@@ -203,6 +203,14 @@ class MonoDepthLoop:
                 self.ckpt.restore_best_value()
                 LOGGER.info(f'Resumed from {last} @ epoch {self.start_epoch}')
 
+        if self.mesh is not None:
+            # Replicate BEFORE the first step: the step's jit cache keys on
+            # input shardings, so a single-device state would compile the
+            # whole step twice (once for the host-placed state, once for the
+            # mesh-replicated state it returns).
+            from ..parallel import replicated
+            self.state = jax.device_put(self.state, replicated(self.mesh))
+
     def _place(self, x: dict, y: dict):
         """Host numpy batch -> device (sharded over the mesh when present)."""
         x = {k: v for k, v in x.items() if k != 'supp_idxs'}

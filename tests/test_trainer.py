@@ -232,6 +232,34 @@ class TestSharded:
             _, s8 = step8(state, xb, yb, jax.random.PRNGKey(2))
         np.testing.assert_allclose(float(s1['loss']), float(s8['loss']), rtol=1e-4)
 
+    @pytest.mark.slow
+    def test_sharded_matches_single_bench_shape(self):
+        """Shape-realistic DP correctness: batch 8 @ 192x320 over the 8-device
+        mesh gives the single-device loss with exactly one compile (backs the
+        driver's `dryrun_multichip` with a bench-scale check)."""
+        cfg = make_cfg()
+        batch = make_batch(jax.random.PRNGKey(3), b=8, h=192, w=320)
+        trainer = MonoDepthTrainer(cfg)
+        tx = parsers.make_optimizer(cfg)
+        state = trainer.init_state(jax.random.PRNGKey(0), batch[0], (-1, 1), tx)
+
+        step1 = make_train_step(trainer, (-1, 1), tx, donate=False)
+        _, s1 = step1(state, batch[0], batch[1], jax.random.PRNGKey(2))
+
+        mesh = make_mesh(8)
+        from slowtv_monodepth_tpu.parallel import replicated
+        with mesh:
+            xb, yb = shard_batch(mesh, batch)
+            # Replicate up front (as the loop does) so steady state is ONE
+            # executable: jit keys on input shardings.
+            state_r = jax.device_put(state, replicated(mesh))
+            step8 = make_train_step(trainer, (-1, 1), tx, mesh=mesh, donate=False)
+            st8, s8 = step8(state_r, xb, yb, jax.random.PRNGKey(2))
+            st8, s8b = step8(st8, xb, yb, jax.random.PRNGKey(4))
+        np.testing.assert_allclose(float(s1['loss']), float(s8['loss']), rtol=2e-6)
+        assert np.isfinite(float(s8b['loss']))
+        assert step8._cache_size() == 1  # Steady state: no re-trace, no re-compile.
+
 
 class TestAspectRatio:
     def test_output_shape_and_K(self):
