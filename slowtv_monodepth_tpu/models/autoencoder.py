@@ -25,6 +25,7 @@ class AutoencoderNet(nn.Module):
     dec_name: str = 'monodepth'
     out_scales: Union[int, Sequence[int]] = (0, 1, 2, 3)
     gelu: str = 'exact'
+    dec_pad_mode: str = 'reflect'
 
     @property
     def out_sc(self) -> Sequence[int]:
@@ -38,7 +39,8 @@ class AutoencoderNet(nn.Module):
         self.decoder = DEC_REG[self.dec_name](
             num_ch_enc=self.num_ch_enc, enc_sc=self.enc_sc,
             upsample_mode='nearest', use_skip=False,
-            out_sc=self.out_sc, out_ch=3, out_act='sigmoid', name='decoders_autoencoder')
+            out_sc=self.out_sc, out_ch=3, out_act='sigmoid',
+            pad_mode=self.dec_pad_mode, name='decoders_autoencoder')
 
     def __call__(self, x: jnp.ndarray, train: bool = False) -> dict:
         """:return: {autoenc_feats: [(b, ., ., c)], autoenc_imgs: {s: (b, ., ., 3)}}."""

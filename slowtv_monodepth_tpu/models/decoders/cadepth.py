@@ -29,11 +29,12 @@ class StructurePerception(nn.Module):
 
 class DetailEmphasis(nn.Module):
     """conv+BN+ReLU then SE-style gating (ref `cadepth.py:30-46`)."""
+    pad_mode: str = 'reflect'
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         c = x.shape[-1]
-        x = conv3x3(c, name='conv')(x)
+        x = conv3x3(c, pad_mode=self.pad_mode, name='conv')(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
                          name='bn')(x)
         x = nn.relu(x)
@@ -52,6 +53,7 @@ class CaDepthDecoder(nn.Module):
     out_sc: Sequence[int] = (0, 1, 2, 3)
     out_ch: int = 1
     out_act: Optional[str] = 'sigmoid'
+    pad_mode: str = 'reflect'
 
     num_ch_dec: Sequence[int] = (16, 32, 64, 128, 256)
 
@@ -64,7 +66,7 @@ class CaDepthDecoder(nn.Module):
         out = {}
         x = StructurePerception(name='sp')(feat[-1])
         for i in range(4, -1, -1):
-            x = ConvBlock(self.num_ch_dec[i], name=f'upconv_{i}_0')(x)
+            x = ConvBlock(self.num_ch_dec[i], pad_mode=self.pad_mode, name=f'upconv_{i}_0')(x)
             x = [upsample2x(x, self.upsample_mode)]
 
             sf = 2 ** i
@@ -72,9 +74,9 @@ class CaDepthDecoder(nn.Module):
                 x += [feat[list(self.enc_sc).index(sf)]]
 
             x = jnp.concatenate(x, axis=-1)
-            x = DetailEmphasis(name=f'detail_emphasis_{i}')(x, train=train)
-            x = ConvBlock(self.num_ch_dec[i], name=f'upconv_{i}_1')(x)
+            x = DetailEmphasis(pad_mode=self.pad_mode, name=f'detail_emphasis_{i}')(x, train=train)
+            x = ConvBlock(self.num_ch_dec[i], pad_mode=self.pad_mode, name=f'upconv_{i}_1')(x)
 
             if i in self.out_sc:
-                out[i] = act(conv3x3(self.out_ch, name=f'outconv_{i}')(x))
+                out[i] = act(conv3x3(self.out_ch, pad_mode=self.pad_mode, name=f'outconv_{i}')(x))
         return out

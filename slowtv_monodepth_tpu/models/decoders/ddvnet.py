@@ -55,6 +55,7 @@ class DDVNetDecoder(nn.Module):
     out_sc: Sequence[int] = (0, 1, 2, 3)
     out_ch: int = 1
     out_act: Optional[str] = 'sigmoid'
+    pad_mode: str = 'reflect'
 
     num_ch_dec: Sequence[int] = (16, 32, 64, 128, 256)
     num_bins: int = 128
@@ -74,7 +75,7 @@ class DDVNetDecoder(nn.Module):
         out = {}
         x = SelfAttentionBlock(name='att')(feat[-1])
         for i in range(4, -1, -1):
-            x = ConvBlock(self.num_ch_dec[i], name=f'upconv_{i}_0')(x)
+            x = ConvBlock(self.num_ch_dec[i], pad_mode=self.pad_mode, name=f'upconv_{i}_0')(x)
             x = [upsample2x(x, self.upsample_mode)]
 
             sf = 2 ** i
@@ -82,10 +83,10 @@ class DDVNetDecoder(nn.Module):
                 x += [feat[list(self.enc_sc).index(sf)]]
 
             x = jnp.concatenate(x, axis=-1)
-            x = ConvBlock(self.num_ch_dec[i], name=f'upconv_{i}_1')(x)
+            x = ConvBlock(self.num_ch_dec[i], pad_mode=self.pad_mode, name=f'upconv_{i}_1')(x)
 
             if i in self.out_sc:
-                logits = conv3x3(self.num_bins * self.out_ch, name=f'outconv_{i}')(x)
+                logits = conv3x3(self.num_bins * self.out_ch, pad_mode=self.pad_mode, name=f'outconv_{i}')(x)
                 chunks = jnp.split(logits, self.out_ch, axis=-1)
                 out[i] = jnp.concatenate([self.expected_disparity(l) for l in chunks], axis=-1)
         return out

@@ -33,24 +33,26 @@ class AttentionBlock(nn.Module):
     """Upsample + skip concat + channel attention + conv (ref `diffnet.py:50-74`)."""
     out_ch: int
     upsample_mode: str = 'nearest'
+    pad_mode: str = 'reflect'
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, x_skip: jnp.ndarray) -> jnp.ndarray:
         x = jnp.concatenate([upsample2x(x, self.upsample_mode), x_skip], axis=-1)
         x = ChannelAttention(name='ca')(x)
-        return nn.relu(conv3x3(self.out_ch, name='conv')(x))
+        return nn.relu(conv3x3(self.out_ch, pad_mode=self.pad_mode, name='conv')(x))
 
 
 class UpsampleBlock(nn.Module):
     """conv + x2 upsample + conv, for skip-less stages (ref `diffnet.py:12-18`)."""
     out_ch: int
     upsample_mode: str = 'nearest'
+    pad_mode: str = 'reflect'
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = ConvBlock(self.out_ch, name='conv0')(x)
+        x = ConvBlock(self.out_ch, pad_mode=self.pad_mode, name='conv0')(x)
         x = upsample2x(x, self.upsample_mode)
-        return ConvBlock(self.out_ch, name='conv1')(x)
+        return ConvBlock(self.out_ch, pad_mode=self.pad_mode, name='conv1')(x)
 
 
 @register('diffnet')
@@ -62,6 +64,7 @@ class DiffNetDecoder(nn.Module):
     out_sc: Sequence[int] = (0, 1, 2, 3)
     out_ch: int = 1
     out_act: Optional[str] = 'sigmoid'
+    pad_mode: str = 'reflect'
 
     num_ch_dec: Sequence[int] = (16, 32, 64, 128, 256)
 
@@ -79,10 +82,12 @@ class DiffNetDecoder(nn.Module):
             if self.use_skip and sf in self.enc_sc:
                 skip = feat[list(self.enc_sc).index(sf)]
                 x = AttentionBlock(self.num_ch_dec[i], self.upsample_mode,
+                                   pad_mode=self.pad_mode,
                                    name=f'upconv_{i}')(x, skip)
             else:
                 x = UpsampleBlock(self.num_ch_dec[i], self.upsample_mode,
+                                  pad_mode=self.pad_mode,
                                   name=f'upconv_{i}')(x)
             if i in self.out_sc:
-                out[i] = act(conv3x3(self.out_ch, name=f'outconv_{i}')(x))
+                out[i] = act(conv3x3(self.out_ch, pad_mode=self.pad_mode, name=f'outconv_{i}')(x))
         return out

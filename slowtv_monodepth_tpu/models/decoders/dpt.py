@@ -98,6 +98,9 @@ class DptDecoder(nn.Module):
     out_sc: Sequence[int] = (0, 1, 2, 3)
     out_ch: int = 1
     out_act: str = 'sigmoid'
+    # DPT convs already use zero 'SAME' padding (no reflect anywhere in the
+    # reference DPT); accepted for the shared decoder contract, unused.
+    pad_mode: str = 'reflect'
     num_ch_dec: int = 256
 
     @nn.compact

@@ -48,6 +48,7 @@ class HRDepthDecoder(nn.Module):
     out_sc: Sequence[int] = (0, 1, 2, 3)
     out_ch: int = 1
     out_act: Optional[str] = 'sigmoid'
+    pad_mode: str = 'reflect'
 
     ALL_IDX = ('01', '11', '21', '31', '02', '12', '22', '03', '13', '04')
     ATT_IDX = ('31', '22', '13', '04')
@@ -84,7 +85,7 @@ class HRDepthDecoder(nn.Module):
                 ch_in //= 2
             if idx_row == 0 and idx_col == 4:
                 ch_in = num_ch_enc[1] // 2
-            return ConvBlock(ch_in // 2, name=f'{idx_row}{idx_col}_conv_0')(x)
+            return ConvBlock(ch_in // 2, pad_mode=self.pad_mode, name=f'{idx_row}{idx_col}_conv_0')(x)
 
         for idx in self.ALL_IDX:
             row, col = int(idx[0]), int(idx[1])
@@ -102,12 +103,12 @@ class HRDepthDecoder(nn.Module):
                 if col != 1:
                     x = conv1x1(2 * num_ch_dec[row + 1], use_bias=False,
                                 name=f'{idx}_down')(x)
-                fmap[idx] = ConvBlock(num_ch_dec[row + 1],
+                fmap[idx] = ConvBlock(num_ch_dec[row + 1], pad_mode=self.pad_mode,
                                       name=f'{row + 1}{col - 1}_conv_1')(x)
 
         x = conv0(0, 4, fmap['04'])
-        x = ConvBlock(num_ch_dec[0], name='04_conv_1')(upsample2x(x, self.upsample_mode))
+        x = ConvBlock(num_ch_dec[0], pad_mode=self.pad_mode, name='04_conv_1')(upsample2x(x, self.upsample_mode))
 
         out_feat = [x, fmap['04'], fmap['13'], fmap['22']]
-        return {i: act(conv3x3(self.out_ch, name=f'outconv_{i}')(f))
+        return {i: act(conv3x3(self.out_ch, pad_mode=self.pad_mode, name=f'outconv_{i}')(f))
                 for i, f in enumerate(out_feat) if i in self.out_sc}

@@ -36,6 +36,7 @@ class MonodepthDecoder(nn.Module):
     out_sc: Sequence[int] = (0, 1, 2, 3)
     out_ch: int = 1
     out_act: Optional[str] = 'sigmoid'
+    pad_mode: str = 'reflect'
 
     num_ch_dec: Sequence[int] = (16, 32, 64, 128, 256)
 
@@ -65,16 +66,16 @@ class MonodepthDecoder(nn.Module):
                     po['kernel'], po['bias'])
                 continue
 
-            x = ConvBlock(self.num_ch_dec[i], name=f'upconv_{i}_0')(x)
+            x = ConvBlock(self.num_ch_dec[i], pad_mode=self.pad_mode, name=f'upconv_{i}_0')(x)
             x = [upsample2x(x, self.upsample_mode)]
             if has_skip:
                 x += [feat[list(self.enc_sc).index(sf)]]
 
             x = jnp.concatenate(x, axis=-1)
-            x = ConvBlock(self.num_ch_dec[i], name=f'upconv_{i}_1')(x)
+            x = ConvBlock(self.num_ch_dec[i], pad_mode=self.pad_mode, name=f'upconv_{i}_1')(x)
 
             if i in self.out_sc:
-                out[i] = act(conv3x3(self.out_ch, name=f'outconv_{i}')(x))
+                out[i] = act(conv3x3(self.out_ch, pad_mode=self.pad_mode, name=f'outconv_{i}')(x))
         return out
 
     def _use_fused_stage(self, x: jnp.ndarray, i: int, has_skip: bool) -> bool:
@@ -87,6 +88,9 @@ class MonodepthDecoder(nn.Module):
         """
         if self.is_initializing() or not os.environ.get('SLOWTV_ENABLE_PALLAS_DEC'):
             return False
+        from .utils import _resolve_pad
+        if _resolve_pad(self.pad_mode) != 'reflect':
+            return False  # The fused stage bakes reflect-pad convs.
         if has_skip or i not in self.out_sc or self.out_ch != 1:
             return False
         if self.upsample_mode != 'nearest' or self.out_act != 'sigmoid':

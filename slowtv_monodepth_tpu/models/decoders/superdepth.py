@@ -12,7 +12,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ... import register
-from .utils import ACT, ConvBlock, conv3x3, reflect_pad
+from .utils import ACT, ConvBlock, _resolve_pad, conv3x3, reflect_pad
 
 __all__ = ['SuperdepthDecoder']
 
@@ -35,13 +35,17 @@ class SubPixelConv(nn.Module):
     (ref `superdepth.py:13-26`; the ICNR-style weight init is approximated by
     the default initializer + zero bias)."""
     up_factor: int
+    pad_mode: str = 'reflect'
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         ch_in = x.shape[-1]
-        out = nn.Conv(ch_in * self.up_factor ** 2, (3, 3), padding='VALID',
+        zeros = _resolve_pad(self.pad_mode) == 'zeros'
+        out = nn.Conv(ch_in * self.up_factor ** 2, (3, 3),
+                      padding='SAME' if zeros else 'VALID',
                       feature_group_count=ch_in,
-                      bias_init=nn.initializers.zeros, name='conv')(reflect_pad(x))
+                      bias_init=nn.initializers.zeros,
+                      name='conv')(x if zeros else reflect_pad(x))
         return pixel_shuffle(out, self.up_factor)
 
 
@@ -54,6 +58,7 @@ class SuperdepthDecoder(nn.Module):
     out_sc: Sequence[int] = (0, 1, 2, 3)
     out_ch: int = 1
     out_act: Optional[str] = 'sigmoid'
+    pad_mode: str = 'reflect'
 
     num_ch_dec: Sequence[int] = (16, 32, 64, 128, 256)
 
@@ -67,8 +72,8 @@ class SuperdepthDecoder(nn.Module):
         out = {}
         x = feat[-1]
         for i in range(4, -1, -1):
-            x = ConvBlock(self.num_ch_dec[i], name=f'upconv_{i}_0_conv')(x)
-            x = nn.relu(SubPixelConv(2, name=f'upconv_{i}_0_up')(x))
+            x = ConvBlock(self.num_ch_dec[i], pad_mode=self.pad_mode, name=f'upconv_{i}_0_conv')(x)
+            x = nn.relu(SubPixelConv(2, pad_mode=self.pad_mode, name=f'upconv_{i}_0_up')(x))
             x = [x]
 
             sf = 2 ** i
@@ -76,12 +81,12 @@ class SuperdepthDecoder(nn.Module):
                 x += [feat[list(self.enc_sc).index(sf)]]
 
             x = jnp.concatenate(x, axis=-1)
-            x = ConvBlock(self.num_ch_dec[i], name=f'upconv_{i}_1')(x)
+            x = ConvBlock(self.num_ch_dec[i], pad_mode=self.pad_mode, name=f'upconv_{i}_1')(x)
 
             if i in self.out_sc:
                 if i == 0:
-                    out[i] = act(conv3x3(self.out_ch, name=f'outconv_{i}')(x))
+                    out[i] = act(conv3x3(self.out_ch, pad_mode=self.pad_mode, name=f'outconv_{i}')(x))
                 else:
-                    y = ConvBlock(self.out_ch, name=f'outconv_{i}_conv')(x)
-                    out[i] = act(SubPixelConv(2 ** i, name=f'outconv_{i}_up')(y))
+                    y = ConvBlock(self.out_ch, pad_mode=self.pad_mode, name=f'outconv_{i}_conv')(x)
+                    out[i] = act(SubPixelConv(2 ** i, pad_mode=self.pad_mode, name=f'outconv_{i}_up')(y))
         return out

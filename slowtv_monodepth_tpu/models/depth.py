@@ -48,6 +48,7 @@ class DepthNet(nn.Module):
     use_virtual_stereo: bool = False
     use_stereo_blend: bool = False
     gelu: str = 'exact'
+    dec_pad_mode: str = 'reflect'
 
     @property
     def out_sc(self) -> Sequence[int]:
@@ -70,13 +71,14 @@ class DepthNet(nn.Module):
             num_ch_enc=self.num_ch_enc, enc_sc=self.enc_sc,
             upsample_mode='nearest', use_skip=True,
             out_sc=self.out_sc, out_ch=1 + (2 * self.use_virtual_stereo),
-            out_act='sigmoid', name='decoders_disp')
+            out_act='sigmoid', pad_mode=self.dec_pad_mode, name='decoders_disp')
         if self.mask_name:
             self.decoder_mask = cls(
                 num_ch_enc=self.num_ch_enc, enc_sc=self.enc_sc,
                 upsample_mode='nearest', use_skip=True,
                 out_sc=self.out_sc, out_ch=self.num_ch_mask,
-                out_act=MASKS[self.mask_name], name='decoders_mask')
+                out_act=MASKS[self.mask_name], pad_mode=self.dec_pad_mode,
+                name='decoders_mask')
 
     def _forward(self, x: jnp.ndarray, train: bool) -> dict:
         out = {}

@@ -396,3 +396,36 @@ class TestSwinBeit:
         v = net.init(jax.random.PRNGKey(0), x, train=False)
         out = net.apply(v, x, train=False)
         assert out['disp'][0].shape == (1, 32, 48, 1)
+
+
+class TestDecoderPadMode:
+    def test_zeros_matches_reflect_away_from_border(self):
+        """TPU recipe `pad_mode='zeros'`: identical to reflect except the 1px
+        conv border, with an identical parameter tree (checkpoints swap)."""
+        from slowtv_monodepth_tpu.models.decoders.utils import conv3x3
+
+        x = jax.random.uniform(jax.random.PRNGKey(0), (2, 16, 24, 8))
+        m_r = conv3x3(4, pad_mode='reflect')
+        m_z = conv3x3(4, pad_mode='zeros')
+        p = m_r.init(jax.random.PRNGKey(1), x)
+        assert (jax.tree_util.tree_structure(p)
+                == jax.tree_util.tree_structure(m_z.init(jax.random.PRNGKey(1), x)))
+        y_r = m_r.apply(p, x)
+        y_z = m_z.apply(p, x)
+        np.testing.assert_allclose(np.asarray(y_r[:, 1:-1, 1:-1]),
+                                   np.asarray(y_z[:, 1:-1, 1:-1]), atol=1e-6)
+        assert np.abs(np.asarray(y_r[:, 0]) - np.asarray(y_z[:, 0])).max() > 1e-4
+
+    def test_depthnet_dec_pad_mode_param_tree_stable(self):
+        from slowtv_monodepth_tpu.models import DepthNet
+
+        x = jnp.zeros((1, 32, 64, 3))
+        kw = dict(enc_name='resnet18', pretrained=False, dec_name='monodepth',
+                  out_scales=(0, 1))
+        p_r = DepthNet(**kw).init(jax.random.PRNGKey(0), x, train=False)
+        net_z = DepthNet(**kw, dec_pad_mode='zeros')
+        p_z = net_z.init(jax.random.PRNGKey(0), x, train=False)
+        assert (jax.tree_util.tree_structure(p_r)
+                == jax.tree_util.tree_structure(p_z))
+        out = net_z.apply(p_z, x, train=False)
+        assert out['disp'][0].shape == (1, 32, 64, 1)

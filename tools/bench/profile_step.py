@@ -40,7 +40,7 @@ def capture(batch: int, steps: int) -> None:
         'net': {
             'depth': {'enc_name': 'convnext_base', 'pretrained': False,
                       'dec_name': 'monodepth', 'out_scales': (0, 1, 2, 3),
-                      'gelu': 'tanh'},
+                      'gelu': 'tanh', 'dec_pad_mode': 'zeros'},
             'pose': {'enc_name': 'convnext_tiny', 'pretrained': False,
                      'learn_K': True, 'gelu': 'tanh'},
         },
