@@ -12,6 +12,7 @@ from __future__ import annotations
 from typing import Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ...ops.pallas_dwconv import depthwise_conv
@@ -80,6 +81,28 @@ class ConvNeXtBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self._use_fused(x):
+            # Whole block in ONE Pallas launch (`ops/pallas_convnext`).
+            # Params are created by the unfused path during init, so the
+            # tree is identical and checkpoints interchange.
+            # OPT-IN (SLOWTV_ENABLE_PALLAS_CONVNEXT) - NEGATIVE RESULT: with
+            # honest timing (tunnel-latency-corrected; see verify SKILL.md),
+            # XLA's in-context ConvNeXt block is already near its practical
+            # floor. Measured full KBR step: bf16 fused loses ~2x on the
+            # backward; f32 fused 26.3 vs 27.5 imgs/s. Isolated-graph wins
+            # (f32 dwconv-bwd 12.8 ms -> 0.57 ms at (8,24,40,512)) do not
+            # survive XLA's whole-graph fusion. Kept as documented evidence
+            # + a base for future Mosaic toolchains.
+            p = self.variables['params']
+            dw, norm = p['conv_dw'], p['norm']
+            fc1, fc2 = p['mlp_fc1'], p['mlp_fc2']
+            from ...ops.pallas_convnext import fused_convnext_block
+            return fused_convnext_block(
+                x, dw['kernel'][:, :, 0, :], dw['bias'],
+                norm['scale'], norm['bias'], fc1['kernel'], fc1['bias'],
+                fc2['kernel'], fc2['bias'], p['gamma'],
+                approximate=self.gelu_approx)
+
         shortcut = x
         # Depthwise 7x7 (Pallas kernel on TPU; same param tree as nn.Conv).
         x = _DepthwiseConv(self.dim, name='conv_dw')(x)
@@ -89,6 +112,18 @@ class ConvNeXtBlock(nn.Module):
         x = nn.Dense(self.dim, name='mlp_fc2')(x)
         gamma = self.param('gamma', nn.initializers.constant(self.ls_init), (self.dim,))
         return shortcut + gamma * x
+
+    def _use_fused(self, x: jnp.ndarray) -> bool:
+        import os
+        force = os.environ.get('SLOWTV_FORCE_PALLAS_CONVNEXT')
+        if self.is_initializing() or not (
+                force or os.environ.get('SLOWTV_ENABLE_PALLAS_CONVNEXT')):
+            return False
+        if x.dtype != jnp.float32 or (self.dim < 512 and not force):
+            return False
+        from ...ops.pallas_convnext import convnext_block_supported
+        backend = 'tpu' if force else jax.default_backend()
+        return convnext_block_supported(x.shape, self.dim, backend)
 
 
 class ConvNeXtEncoder(nn.Module):

@@ -1,11 +1,17 @@
 """Pallas TPU kernel: fused ConvNeXt block (dwconv7x7 + LN + MLP), fwd + VJP.
 
-WHY: the ConvNeXt encoders dominate the KBR train step (trace at batch 8 @
-384x640 bf16: depth encoder 45 ms + pose encoder 42 ms of a 190 ms step), yet
-run far off roofline — XLA's depthwise conv is ~10x the bandwidth bound, and
-the 4C-wide MLP hidden activations (e.g. (8, 96, 160, 384) = 94 MB bf16 per
-block) round-trip HBM several times per block each way. Per-block microbench
-(stage-0 pose block, f32 tanh): 4.2 ms measured vs ~0.6 ms roofline.
+STATUS — OPT-IN, NEGATIVE RESULT on the current v5e toolchain. The kernel is
+exact (differential-tested fwd + full 10-tensor VJP) and compiles/runs on
+chip, but with honest tunnel-latency-corrected timing XLA's in-context block
+is already near its practical floor: bf16 fused fwd matches XLA (~0.8 ms,
+stage-0 shape) while the fused backward loses ~2x (recompute + transpose tap
+passes are VPU-bound and Mosaic gains nothing over XLA's fusions); the f32
+full KBR step measures 26.3 (fused) vs 27.5 (XLA) imgs/s. The round-1 premise
+("XLA dwconv ~10-27x off roofline") was a measurement artifact — the scan
+microbench harness carried ~2.7 ms/rep of tunnel round-trip (see
+`.claude/skills/verify/SKILL.md`). Kept as documented evidence, a numerics
+reference, and a base for future toolchains; enable via
+SLOWTV_ENABLE_PALLAS_CONVNEXT (f32, C>=512 stages).
 
 One launch per block computes
 
@@ -75,12 +81,25 @@ def convnext_block_supported(x_shape, c_real: int, backend: str) -> bool:
     return _pick_th(h, w, c) is not None
 
 
+def _erf_f32(x):
+    """f32-accuracy erf (Abramowitz & Stegun 7.1.26, |err| < 1.5e-7).
+
+    Mosaic has no `erf` primitive; this uses only mul/add/div/exp/abs/sign.
+    """
+    a1, a2, a3 = 0.254829592, -0.284496736, 1.421413741
+    a4, a5, p = -1.453152027, 1.061405429, 0.3275911
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    return jnp.sign(x) * (1.0 - poly * jnp.exp(-ax * ax))
+
+
 def _gelu_f32(h, approximate: bool):
     if approximate:
         a = 0.7978845608028654  # sqrt(2/pi)
         inner = a * (h + 0.044715 * h * h * h)
         return 0.5 * h * (1.0 + jnp.tanh(inner))
-    return 0.5 * h * (1.0 + lax.erf(h / 1.4142135623730951))
+    return 0.5 * h * (1.0 + _erf_f32(h * 0.7071067811865475))
 
 
 def _padded_halo_tile(xm_ref, xc_ref, xp_ref, nh, th: int, c: int):
@@ -252,7 +271,7 @@ def _bwd_kernel(xm_ref, xc_ref, xp_ref, dy_ref, dwk_ref, dwb_ref, lns_ref,
             + 0.5 * h1 * (1.0 - t * t) * a * (1.0 + 3.0 * k3 * h1 * h1)
     else:
         inv_s2 = 0.7071067811865475
-        t = lax.erf(h1 * inv_s2)
+        t = _erf_f32(h1 * inv_s2)
         hg = 0.5 * h1 * (1.0 + t)
         pdf = 0.3989422804014327 * jnp.exp(-0.5 * h1 * h1)
         dgelu = 0.5 * (1.0 + t) + h1 * pdf

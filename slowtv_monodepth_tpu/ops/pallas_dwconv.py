@@ -1,14 +1,14 @@
 """Pallas TPU kernel: stride-1 'SAME' depthwise KxK convolution (fwd + VJP).
 
-WHY: XLA's TPU lowering of depthwise convolutions (`feature_group_count=C`)
-is far off the roofline — measured ~3 ms for a single ConvNeXt stage-0
-dwconv7x7 forward at (8, 96, 160, 96) f32 on v5e, ~27x the HBM-bandwidth
-bound. Depthwise convs are pure VPU work (no channel contraction -> no MXU),
-so a Pallas kernel that keeps channels on lanes and accumulates the K*K
-shifted taps in VMEM gets most of that back. ConvNeXt spends ~23 ms/step on
-dwconvs in the KBR step (depth 12.6 + pose 10.8, fwd+bwd); this kernel is
-their drop-in replacement (ref block structure `src/networks/` timm ConvNeXt;
-our `models/encoders/convnext.py`).
+STATUS — OPT-IN, NEGATIVE RESULT on the current v5e toolchain. The round-1
+premise ("XLA dwconv ~27x off the bandwidth bound") was a measurement
+artifact: the scan microbench harness carried ~2.7 ms/rep of tunnel
+round-trip at K=10 (see `.claude/skills/verify/SKILL.md`). With corrected
+timing (K=50 + identity baseline), XLA's dwconv is near roofline and beats
+this kernel at every training shape/dtype — e.g. (8,96,160,96) f32 fwd:
+XLA 0.14 ms vs pallas 0.92 ms; bf16 fwd+dx+dw: XLA 0.49 ms vs 4.5 ms. Kept
+(with its tests) as a numerics reference and do-not-retry documentation;
+`models/encoders/convnext.py` keeps the XLA grouped conv by default.
 
 DESIGN
 - NHWC with C host-padded to 128 lanes; W carries the sublanes. Shifts in x
