@@ -355,7 +355,8 @@ class MonoDepthLoop:
         """Raise if any step since init saw a non-finite loss (device-side
         `bad_step` tripwire; reference `DetectAnomaly`, `src/utils/callbacks.py:27-31`).
         Only called where a host fetch happens anyway — zero steady-state cost."""
-        bad = getattr(self.state, 'bad_step', None) if self.state is not None else None
+        state = getattr(self, 'state', None)
+        bad = getattr(state, 'bad_step', None) if state is not None else None
         if bad is not None and int(bad) >= 0:
             raise ValueError(f'Detected NaN/Infinite loss (first at step {int(bad)})')
 
