@@ -245,14 +245,43 @@ def view_synth(img: jnp.ndarray,
     if K_inv is None:
         K_inv = jnp.linalg.inv(K)
     h, w = depth.shape[1:3]
+    b = depth.shape[0]
 
-    pts = backproject_depth(depth, K_inv)  # (b, n, 4)
-    pts = pts @ jnp.swapaxes(T, -1, -2)  # Transform to the support frame.
-    grid, depth_warp = project_points(pts, K, (h, w))
+    # Fold the chain into per-batch 3x3 combines so the per-pixel work is pure
+    # elementwise VPU math (broadcast scalars x planes) instead of three
+    # K=3/4 matmuls over (b, h*w, 4) intermediates: for a homogeneous pixel
+    # p = (x, y, 1),   xyz_support = d * (R K^-1) p + t,  so with
+    # A = R K^-1, B = K A, u = K t the projected pixel is
+    # (d * B p + u) / max(z, 0.1) with z = d * A[2] p + t[2].
+    # Same math as backproject_depth -> @T^T -> project_points (parity-tested
+    # against the torch reference chain); only association order differs.
+    A = T[:, :3, :3] @ K_inv[:, :3, :3]                    # (b, 3, 3)
+    t = T[:, :3, 3]                                        # (b, 3)
+    Bm = K[:, :3, :3] @ A                                  # (b, 3, 3)
+    u = jnp.einsum('bij,bj->bi', K[:, :3, :3], t)          # (b, 3)
+
+    dtype = depth.dtype
+    ys, xs = jnp.meshgrid(jnp.arange(h, dtype=dtype),
+                          jnp.arange(w, dtype=dtype), indexing='ij')
+    d = depth[..., 0]                                      # (b, h, w)
+
+    def plane(M, row):  # broadcast scalar row of a per-batch matrix over (h, w)
+        return (M[:, row, 0, None, None] * xs + M[:, row, 1, None, None] * ys
+                + M[:, row, 2, None, None])
+
+    z = d * plane(A, 2) + t[:, 2, None, None]
+    depth_warp = jnp.clip(z, min=eps(depth))
+    cz = jnp.clip(z, min=0.1)
+    px = (d * plane(Bm, 0) + u[:, 0, None, None]) / cz
+    py = (d * plane(Bm, 1) + u[:, 1, None, None]) / cz
+
+    gx = (px / (w - 1) - 0.5) * 2
+    gy = (py / (h - 1) - 0.5) * 2
+    grid = jnp.stack([gx, gy], axis=-1)                    # (b, h, w, 2)
 
     valid = jnp.all(jnp.abs(grid) < 1, axis=-1, keepdims=True)
     warped = grid_sample(img, grid, padding_mode='border')
-    return warped, depth_warp, valid
+    return warped, depth_warp[..., None], valid
 # -----------------------------------------------------------------------------
 
 
