@@ -91,13 +91,13 @@ def _pad_band(ref, r0: int, rows: int, h: int, w: int, wp: int):
 
 
 def _pool(pad, rows: int, wp: int):
-    """3x3/9 mean -> (rows, wp); cols >= true w are garbage (masked later)."""
-    acc = None
-    for dy in range(3):
-        for dx in range(3):
-            t = pad[dy:dy + rows, dx:dx + wp]
-            acc = t if acc is None else acc + t
-    return acc / 9.0
+    """3x3/9 mean -> (rows, wp); cols >= true w are garbage (masked later).
+
+    Separable: a 3x3 box is a 1x3 row sum followed by a 3x1 column sum —
+    4 adds per output instead of 8 (the pools dominate the kernel's VPU time).
+    """
+    rowsum = pad[:, 0:wp] + pad[:, 1:wp + 1] + pad[:, 2:wp + 2]  # (rows+2, wp)
+    return (rowsum[0:rows] + rowsum[1:rows + 1] + rowsum[2:rows + 2]) / 9.0
 
 
 def _band_stats(xp, yp, rows: int, wp: int):
@@ -144,11 +144,9 @@ def _adjoint(v, rows: int, w: int, wp: int):
     vz = jnp.concatenate([_zeros(2, wp, dt), v9, _zeros(2, wp, dt)], axis=0)
     vzc = jnp.concatenate([_zeros(rows + 4, 2, dt), vz,
                            _zeros(rows + 4, 2, dt)], axis=1)  # (rows+4, wp+4)
-    scr = None
-    for dy in range(3):
-        for dx in range(3):
-            t = vzc[dy:dy + rows + 2, dx:dx + wp + 2]
-            scr = t if scr is None else scr + t               # (rows+2, wp+2)
+    # Separable box scatter (adjoint of the separable pool): rows then cols.
+    rsum = (vzc[0:rows + 2] + vzc[1:rows + 3] + vzc[2:rows + 4])  # (rows+2, wp+4)
+    scr = rsum[:, 0:wp + 2] + rsum[:, 1:wp + 3] + rsum[:, 2:wp + 4]  # (rows+2, wp+2)
     # Column folds: padded col 0 -> col 2 (image col 1), padded col w+1 ->
     # col w-1 (image col w-2); then take image cols (padded 1..w).
     out = scr[:, 1:w + 1]
