@@ -41,26 +41,32 @@ def _tile_scales(x: jnp.ndarray, n_sc: int) -> jnp.ndarray:
 
 
 def _batched_synth(supp_imgs: jnp.ndarray, depths: jnp.ndarray,
-                   Ts: jnp.ndarray, Ks: jnp.ndarray) -> jnp.ndarray:
+                   Ts: jnp.ndarray, Ks: jnp.ndarray,
+                   warp_bf16: bool = False) -> jnp.ndarray:
     """One view-synthesis call over (n, m) flattened support/scale batches.
 
     :param supp_imgs: (n, m, h, w, c) support frames.
     :param depths: (m, h, w, 1) target depths (shared across n).
     :param Ts: (n, m, 4, 4) target->support transforms.
     :param Ks: (m, 4, 4) intrinsics (shared across n).
+    :param warp_bf16: Quantize the warp SOURCES to bf16 (TPU recipe option —
+        finer than the 8-bit video content; runs the packed-plane Pallas
+        kernel, `ops/pallas_warp._kernel_packed`). Warp outputs stay f32.
     :return: (n, m, h, w, c) warped support frames.
     """
     n, m, h, w, c = supp_imgs.shape
+    src = supp_imgs.reshape(n * m, h, w, c)
+    if warp_bf16:
+        src = src.astype(jnp.bfloat16)
     depth_f = jnp.broadcast_to(depths, (n,) + depths.shape).reshape(n * m, h, w, 1)
     Ks_f = jnp.broadcast_to(Ks, (n,) + Ks.shape).reshape(n * m, 4, 4)
-    warped, _, _ = view_synth(
-        supp_imgs.reshape(n * m, h, w, c), depth_f, Ts.reshape(n * m, 4, 4), Ks_f)
+    warped, _, _ = view_synth(src, depth_f, Ts.reshape(n * m, 4, 4), Ks_f)
     return warped.reshape(n, m, h, w, c)
 
 
 def image_recon(crit, depths: dict, masks: Optional[dict], imgs: jnp.ndarray,
                 supp_imgs: jnp.ndarray, Ts: jnp.ndarray, Ks: jnp.ndarray,
-                rng: Optional[jax.Array] = None):
+                rng: Optional[jax.Array] = None, warp_bf16: bool = False):
     """Photometric reconstruction loss over all scales (ref `handlers.py:14-67`).
 
     `loss_dict` contains only scale-0 outputs, matching the reference.
@@ -75,7 +81,8 @@ def image_recon(crit, depths: dict, masks: Optional[dict], imgs: jnp.ndarray,
     Ts_s = jnp.concatenate([Ts] * n_sc, axis=1)           # (n, s*b, 4, 4)
     Ks_s = _tile_scales(Ks, n_sc)                         # (s*b, 4, 4)
 
-    warped = _batched_synth(supp_s, depths_s, Ts_s, Ks_s)  # (n, s*b, h, w, 3)
+    warped = _batched_synth(supp_s, depths_s, Ts_s, Ks_s,
+                            warp_bf16=warp_bf16)          # (n, s*b, h, w, 3)
     # The automask static error is scale-independent: pass the UNTILED support
     # frames so the crit computes it once per base batch and tiles (bitwise
     # identical, skips 3/4 of that full-res SSIM). Predicted weighting masks

@@ -81,6 +81,11 @@ class MonoDepthTrainer:
         # step was warp-gather-bound showed no win; that conclusion was
         # bottleneck-masking, not a property of bf16.)
         self.precision = str(tcfg.get('precision', 32))
+        # TPU recipe option: quantize the photometric warp SOURCES to bf16
+        # (finer than the 8-bit video content; the packed-plane Pallas warp
+        # kernel then does its gather/select work on half the planes). Warp
+        # outputs and the whole loss chain stay f32.
+        self.warp_bf16 = bool(tcfg.get('warp_bf16', False))
         # Rematerialization: recompute network activations in the backward
         # pass instead of storing them (jax.checkpoint), trading ~30% step
         # FLOPs for activation memory — the TPU lever for larger batches or
@@ -242,12 +247,14 @@ class MonoDepthTrainer:
             if k == 'img_recon':
                 l, ld = h.image_recon(
                     crit, fwd['depth_up'], fwd.get('mask_up'), y['imgs'],
-                    y['supp_imgs'], fwd['Ts'], Ks, rng=rng_k)
+                    y['supp_imgs'], fwd['Ts'], Ks, rng=rng_k,
+                    warp_bf16=self.warp_bf16)
                 if 'disp_stereo' in fwd:
                     l2, ld2 = h.image_recon(
                         crit, fwd['depth_stereo_up'], fwd.get('mask_stereo_up'),
                         y['imgs_stereo'], y['imgs'][None],
-                        rigid_inverse(y['T_stereo'])[None], Ks, rng=rng_k)
+                        rigid_inverse(y['T_stereo'])[None], Ks, rng=rng_k,
+                        warp_bf16=self.warp_bf16)
 
             elif k == 'feat_recon':
                 feat, supp_feat = self.extract_features(fwd, x, params, aux)

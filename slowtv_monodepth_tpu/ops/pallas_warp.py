@@ -76,6 +76,57 @@ def _select_rows(vr, vb, idx, use_b):
     return jnp.where(use_b, vb, v)
 
 
+def _tile_corners(img_ref, plane: int, rbase, cbase, next_r, next_c,
+                  lxc, lxc1, lyc, lyc1, ly, ly1, x_over, y_over):
+    """Gather the 4 bilinear corner value-tiles of one source plane.
+
+    Pure data movement (lane/sublane gathers + selects) — safe for packed
+    bit-pattern planes as well as real f32 values.
+    """
+    a = img_ref[0, plane,
+                pl.ds(pl.multiple_of(rbase, 8), 8),
+                pl.ds(pl.multiple_of(cbase, 128), 128)]
+    brow = img_ref[0, plane,
+                   pl.ds(pl.multiple_of(next_r, 8), 1),
+                   pl.ds(pl.multiple_of(cbase, 128), 128)]
+    bcol = img_ref[0, plane,
+                   pl.ds(pl.multiple_of(rbase, 8), 8),
+                   pl.ds(pl.multiple_of(next_c, 128), 1)]
+    # Next-row-tile column at next_c; its row 0 is the diagonal
+    # corner. (Routed through an (8,1) broadcast + index-0
+    # sublane gather: Mosaic rejects (1,1)->(8,128) broadcasts.)
+    bcol2 = img_ref[0, plane,
+                    pl.ds(pl.multiple_of(next_r, 8), 8),
+                    pl.ds(pl.multiple_of(next_c, 128), 1)]
+
+    # Lane-gather every source sublane at both column indices.
+    vr0 = [jnp.take_along_axis(
+        jnp.broadcast_to(a[r:r + 1], (8, 128)), lxc, axis=1)
+        for r in range(8)]
+    vr1 = [jnp.take_along_axis(
+        jnp.broadcast_to(a[r:r + 1], (8, 128)), lxc1, axis=1)
+        for r in range(8)]
+    br0 = jnp.take_along_axis(
+        jnp.broadcast_to(brow, (8, 128)), lxc, axis=1)
+    br1 = jnp.take_along_axis(
+        jnp.broadcast_to(brow, (8, 128)), lxc1, axis=1)
+    # Boundary column at the pixel's row(s): sublane gather.
+    bc = jnp.broadcast_to(bcol, (8, 128))
+    bc0 = jnp.take_along_axis(bc, lyc, axis=0)
+    bc1 = jnp.take_along_axis(bc, lyc1, axis=0)
+    cor = jnp.take_along_axis(
+        jnp.broadcast_to(bcol2, (8, 128)),
+        jnp.zeros((8, 128), jnp.int32), axis=0)
+
+    v00 = _select_rows(vr0, br0, ly, False)
+    v01 = _select_rows(vr1, br1, ly, False)
+    v01 = jnp.where(x_over, bc0, v01)
+    v10 = _select_rows(vr0, br0, ly1, y_over)
+    v11 = _select_rows(vr1, br1, ly1, y_over)
+    v11 = jnp.where(x_over, jnp.where(y_over, cor, bc1), v11)
+    return v00, v01, v10, v11
+
+
 def _kernel(img_ref, fx_ref, fy_ref, out_ref, ddx_ref, ddy_ref, *, c: int,
             h: int, w: int):
     """One (8, 128) output tile: adaptive scan of touched source tiles.
@@ -133,47 +184,9 @@ def _kernel(img_ref, fx_ref, fy_ref, out_ref, ddx_ref, ddy_ref, *, c: int,
             outs, ddxs, ddys = acc
             new_outs, new_ddxs, new_ddys = [], [], []
             for ch in range(c):
-                a = img_ref[0, ch,
-                            pl.ds(pl.multiple_of(rbase, 8), 8),
-                            pl.ds(pl.multiple_of(cbase, 128), 128)]
-                brow = img_ref[0, ch,
-                               pl.ds(pl.multiple_of(next_r, 8), 1),
-                               pl.ds(pl.multiple_of(cbase, 128), 128)]
-                bcol = img_ref[0, ch,
-                               pl.ds(pl.multiple_of(rbase, 8), 8),
-                               pl.ds(pl.multiple_of(next_c, 128), 1)]
-                # Next-row-tile column at next_c; its row 0 is the diagonal
-                # corner. (Routed through an (8,1) broadcast + index-0
-                # sublane gather: Mosaic rejects (1,1)->(8,128) broadcasts.)
-                bcol2 = img_ref[0, ch,
-                                pl.ds(pl.multiple_of(next_r, 8), 8),
-                                pl.ds(pl.multiple_of(next_c, 128), 1)]
-
-                # Lane-gather every source sublane at both column indices.
-                vr0 = [jnp.take_along_axis(
-                    jnp.broadcast_to(a[r:r + 1], (8, 128)), lxc, axis=1)
-                    for r in range(8)]
-                vr1 = [jnp.take_along_axis(
-                    jnp.broadcast_to(a[r:r + 1], (8, 128)), lxc1, axis=1)
-                    for r in range(8)]
-                br0 = jnp.take_along_axis(
-                    jnp.broadcast_to(brow, (8, 128)), lxc, axis=1)
-                br1 = jnp.take_along_axis(
-                    jnp.broadcast_to(brow, (8, 128)), lxc1, axis=1)
-                # Boundary column at the pixel's row(s): sublane gather.
-                bc = jnp.broadcast_to(bcol, (8, 128))
-                bc0 = jnp.take_along_axis(bc, lyc, axis=0)
-                bc1 = jnp.take_along_axis(bc, lyc1, axis=0)
-                cor = jnp.take_along_axis(
-                    jnp.broadcast_to(bcol2, (8, 128)),
-                    jnp.zeros((8, 128), jnp.int32), axis=0)
-
-                v00 = _select_rows(vr0, br0, ly, False)
-                v01 = _select_rows(vr1, br1, ly, False)
-                v01 = jnp.where(x_over, bc0, v01)
-                v10 = _select_rows(vr0, br0, ly1, y_over)
-                v11 = _select_rows(vr1, br1, ly1, y_over)
-                v11 = jnp.where(x_over, jnp.where(y_over, cor, bc1), v11)
+                v00, v01, v10, v11 = _tile_corners(
+                    img_ref, ch, rbase, cbase, next_r, next_c,
+                    lxc, lxc1, lyc, lyc1, ly, ly1, x_over, y_over)
 
                 top = v00 * (1 - wx) + v01 * wx
                 bot = v10 * (1 - wx) + v11 * wx
@@ -196,6 +209,163 @@ def _kernel(img_ref, fx_ref, fy_ref, out_ref, ddx_ref, ddy_ref, *, c: int,
         ddy_ref[0, ch] = ddys[ch]
 
 
+def _unpack_pair(v):
+    """Split a packed f32 vreg (two bf16 payloads) into exact f32 values.
+
+    A bf16 bit pattern B widens losslessly to the f32 whose bits are B << 16,
+    so the low half unpacks via a shift and the high half via a mask — plain
+    int32 VPU ops (Mosaic rejects native bf16 vregs on this toolchain).
+    """
+    u = jax.lax.bitcast_convert_type(v, jnp.uint32)
+    lo = jax.lax.bitcast_convert_type(u << 16, jnp.float32)
+    hi = jax.lax.bitcast_convert_type(u & jnp.uint32(0xFFFF0000), jnp.float32)
+    return lo, hi
+
+
+def _kernel_packed(img_ref, fx_ref, fy_ref, out_ref, ddx_ref, ddy_ref, *,
+                   kinds: tuple, c: int, h: int, w: int):
+    """bf16-source variant of `_kernel`: the gather/select work (the kernel's
+    dominant cost) runs on ceil(c/2) PACKED f32 planes — each 'pair' plane
+    carries two bf16 channels in its bit halves, a trailing 'single' plane
+    carries one widened bf16 channel. Corners are unpacked to exact f32 after
+    selection, so the blend/derivative math is unchanged. Outputs stay f32.
+    """
+    fx = fx_ref[0]
+    fy = fy_ref[0]
+    x0f = jnp.floor(fx)
+    y0f = jnp.floor(fy)
+    wx = fx - x0f
+    wy = fy - y0f
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+    x1g = jnp.minimum(x0 + 1, w - 1)
+    y1g = jnp.minimum(y0 + 1, h - 1)
+
+    rt0 = jnp.min(y0) // 8
+    rt1 = jnp.max(y0) // 8
+    ct0 = jnp.min(x0) // 128
+    ct1 = jnp.max(x0) // 128
+
+    hp = img_ref.shape[2]
+    wp = img_ref.shape[3]
+
+    def col_body(ct, acc):
+        cbase = ct * 128
+        lx = x0 - cbase
+        lx1 = x1g - cbase
+        vx = (lx >= 0) & (lx < 128)
+        lxc = jnp.clip(lx, 0, 127)
+        lxc1 = jnp.clip(lx1, 0, 127)
+        x_over = lx1 >= 128
+        next_c = jnp.minimum(cbase + 128, wp - 128)
+
+        def row_body(rt, acc):
+            rbase = rt * 8
+            ly = y0 - rbase
+            ly1 = y1g - rbase
+            vyx = vx & (ly >= 0) & (ly < 8)
+            lyc = jnp.clip(ly, 0, 7)
+            lyc1 = jnp.clip(ly1, 0, 7)
+            y_over = ly1 >= 8
+            next_r = jnp.minimum(rbase + 8, hp - 8)
+
+            outs, ddxs, ddys = acc
+            new_outs, new_ddxs, new_ddys = [], [], []
+            ch = 0
+            for p, kind in enumerate(kinds):
+                v00, v01, v10, v11 = _tile_corners(
+                    img_ref, p, rbase, cbase, next_r, next_c,
+                    lxc, lxc1, lyc, lyc1, ly, ly1, x_over, y_over)
+                if kind == 'pair':
+                    subch = zip(_unpack_pair(v00), _unpack_pair(v01),
+                                _unpack_pair(v10), _unpack_pair(v11))
+                else:  # 'single': the plane already holds widened f32 values.
+                    subch = [(v00, v01, v10, v11)]
+                for c00, c01, c10, c11 in subch:
+                    top = c00 * (1 - wx) + c01 * wx
+                    bot = c10 * (1 - wx) + c11 * wx
+                    px = top * (1 - wy) + bot * wy
+                    dx = (c01 - c00) * (1 - wy) + (c11 - c10) * wy
+                    dy = bot - top
+                    new_outs.append(jnp.where(vyx, px, outs[ch]))
+                    new_ddxs.append(jnp.where(vyx, dx, ddxs[ch]))
+                    new_ddys.append(jnp.where(vyx, dy, ddys[ch]))
+                    ch += 1
+            return (tuple(new_outs), tuple(new_ddxs), tuple(new_ddys))
+
+        return jax.lax.fori_loop(rt0, rt1 + 1, row_body, acc)
+
+    zero = jnp.zeros((8, 128), jnp.float32)
+    init = (tuple(zero for _ in range(c)),) * 3
+    outs, ddxs, ddys = jax.lax.fori_loop(ct0, ct1 + 1, col_body, init)
+    for ch in range(c):
+        out_ref[0, ch] = outs[ch]
+        ddx_ref[0, ch] = ddxs[ch]
+        ddy_ref[0, ch] = ddys[ch]
+
+
+def _pack_planes(img: jnp.ndarray):
+    """(b, h, w, c) any-float NHWC -> ((b, P, hp, wp) f32 packed planes, kinds).
+
+    Channels quantize to bf16 (finer than the 8-bit content of the video
+    frames this path is built for); pairs ride one f32 plane's bit halves.
+    """
+    b, h, w, c = img.shape
+    hp = -(-h // 8) * 8
+    wp = -(-w // 128) * 128
+    chw = jnp.transpose(img.astype(jnp.bfloat16), (0, 3, 1, 2))
+    chw = jnp.pad(chw, ((0, 0), (0, 0), (0, hp - h), (0, wp - w)))
+    bits = jax.lax.bitcast_convert_type(chw, jnp.uint16).astype(jnp.uint32)
+    planes, kinds = [], []
+    for i in range(0, c - 1, 2):
+        planes.append(jax.lax.bitcast_convert_type(
+            (bits[:, i + 1] << 16) | bits[:, i], jnp.float32))
+        kinds.append('pair')
+    if c % 2:
+        planes.append(jax.lax.bitcast_convert_type(
+            bits[:, c - 1] << 16, jnp.float32))
+        kinds.append('single')
+    return jnp.stack(planes, axis=1), tuple(kinds)
+
+
+@functools.partial(jax.jit, static_argnames=('interpret',))
+def _warp_bilinear_packed_jit(img: jnp.ndarray, fx: jnp.ndarray,
+                              fy: jnp.ndarray, interpret: bool):
+    b, h, w, c = img.shape
+    ho, wo = fx.shape[1:3]
+    hp = -(-h // 8) * 8
+    wp = -(-w // 128) * 128
+    hop = -(-ho // 8) * 8
+    wop = -(-wo // 128) * 128
+
+    packed, kinds = _pack_planes(img)
+    n_planes = len(kinds)
+    fxp = jnp.pad(fx.astype(jnp.float32), ((0, 0), (0, hop - ho), (0, wop - wo)))
+    fyp = jnp.pad(fy.astype(jnp.float32), ((0, 0), (0, hop - ho), (0, wop - wo)))
+
+    kern = functools.partial(_kernel_packed, kinds=kinds, c=c, h=h, w=w)
+    out, ddx, ddy = pl.pallas_call(
+        kern,
+        grid=(b, hop // 8, wop // 128),
+        in_specs=[
+            pl.BlockSpec((1, n_planes, hp, wp), lambda bb, i, j: (bb, 0, 0, 0)),
+            pl.BlockSpec((1, 8, 128), lambda bb, i, j: (bb, i, j)),
+            pl.BlockSpec((1, 8, 128), lambda bb, i, j: (bb, i, j)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, c, 8, 128), lambda bb, i, j: (bb, 0, i, j)),
+            pl.BlockSpec((1, c, 8, 128), lambda bb, i, j: (bb, 0, i, j)),
+            pl.BlockSpec((1, c, 8, 128), lambda bb, i, j: (bb, 0, i, j)),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((b, c, hop, wop), jnp.float32)] * 3,
+        interpret=interpret,
+    )(packed, fxp, fyp)
+
+    def unpack(t):
+        return jnp.transpose(t, (0, 2, 3, 1))[:, :ho, :wo]
+    return unpack(out), unpack(ddx), unpack(ddy)
+
+
 def warp_bilinear_pallas(img: jnp.ndarray, fx: jnp.ndarray, fy: jnp.ndarray,
                          interpret: bool | None = None):
     """Bilinear border sample + spatial derivatives.
@@ -211,6 +381,15 @@ def warp_bilinear_pallas(img: jnp.ndarray, fx: jnp.ndarray, fy: jnp.ndarray,
     if interpret is None:
         interpret = jax.default_backend() != 'tpu'
     b, h, w, c = img.shape
+    if img.dtype == jnp.bfloat16:
+        # bf16 sources: gather/select on packed planes (see `_kernel_packed`).
+        # Outputs are f32; the quantization is the caller's opt-in.
+        if not _fits_whole(h, w, -(-c // 2)):
+            parts = [_warp_bilinear_packed_jit(img[..., i:i + 1], fx, fy,
+                                               interpret)
+                     for i in range(c)]
+            return tuple(jnp.concatenate(t, axis=-1) for t in zip(*parts))
+        return _warp_bilinear_packed_jit(img, fx, fy, interpret)
     if c > 1 and not _fits_whole(h, w, c):
         # Large sources (e.g. 720p AR-aug): one kernel launch per channel so
         # only a single plane has to sit in VMEM.

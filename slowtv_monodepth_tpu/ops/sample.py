@@ -115,7 +115,7 @@ def _warp_pallas_bwd(res, g):
     y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
     x1i = jnp.clip(x0i + 1, 0, w - 1)
     y1i = jnp.clip(y0i + 1, 0, h - 1)
-    flat = jnp.zeros((b, h * w, c), dtype)
+    flat = jnp.zeros((b, h * w, c), jnp.float32)
     n = fx.shape[1] * fx.shape[2]
     gf = g.reshape(b, n, c)
     for yi, xi, ww in ((y0i, x0i, (1 - wx) * (1 - wy)),
@@ -125,7 +125,7 @@ def _warp_pallas_bwd(res, g):
         idx = (yi * w + xi).reshape(b, n)
         flat = flat.at[jnp.arange(b)[:, None], idx].add(
             gf * ww.reshape(b, n, 1))
-    return flat.reshape(shape), gfx, gfy
+    return flat.reshape(shape).astype(dtype), gfx, gfy
 
 
 _warp_pallas_core.defvjp(_warp_pallas_fwd, _warp_pallas_bwd)
@@ -165,12 +165,18 @@ def grid_sample(img: jnp.ndarray, grid: jnp.ndarray, padding_mode: str = 'border
     b, h, w, c = img.shape
     gh, gw = grid.shape[1:3]
 
+    # Kernel vreg tiling is f32-only; bf16 images run the packed-plane kernel
+    # (bf16 payloads ride f32 bit halves — `pallas_warp._kernel_packed`).
     if (padding_mode == 'border' and h >= 2 and w >= 2
-            and img.dtype == jnp.float32  # Kernel vreg tiling is f32-only.
+            and img.dtype in (jnp.float32, jnp.bfloat16)
             and _use_pallas_warp(img.shape)):
         fx = jnp.clip(_unnormalize(grid[..., 0], w), 0.0, w - 1.0)
         fy = jnp.clip(_unnormalize(grid[..., 1], h), 0.0, h - 1.0)
         return _warp_pallas_core(img, fx, fy)
+    if img.dtype == jnp.bfloat16:
+        # Off-TPU/fallback: widen after the bf16 quantization so every path
+        # samples the SAME quantized source the packed kernel sees.
+        img = img.astype(jnp.float32)
 
     x = _unnormalize(grid[..., 0].reshape(b, -1), w)  # (b, n)
     y = _unnormalize(grid[..., 1].reshape(b, -1), h)

@@ -145,3 +145,63 @@ def test_tile_boundary_coords_exact():
     edge_y = np.isclose(fy, h - 1)
     assert np.abs(np.asarray(ddx)[edge_x]).max() == 0
     assert np.abs(np.asarray(ddy)[edge_y]).max() == 0
+
+
+@pytest.mark.parametrize('c', [1, 2, 3, 4, 5])
+def test_packed_bf16_matches_quantized_f32(c):
+    """bf16 sources run the packed-plane kernel (`_kernel_packed`): bit-exact
+    vs the f32 kernel on the bf16-quantized-then-widened image."""
+    img, fx, fy, _ = _rand_case(2, 24, 160, c, 16, 200)
+    imgj = jnp.asarray(img)
+    ref = warp_bilinear_pallas(imgj.astype(jnp.bfloat16).astype(jnp.float32),
+                               jnp.asarray(fx), jnp.asarray(fy), interpret=True)
+    got = warp_bilinear_pallas(imgj.astype(jnp.bfloat16),
+                               jnp.asarray(fx), jnp.asarray(fy), interpret=True)
+    for name, r, g in zip(('out', 'ddx', 'ddy'), ref, got):
+        assert g.dtype == jnp.float32
+        np.testing.assert_array_equal(np.asarray(r), np.asarray(g), err_msg=name)
+
+
+def test_grid_sample_bf16_dispatch(monkeypatch):
+    """grid_sample on bf16 images: pallas (packed) and XLA fallback both warp
+    the SAME quantized source; grads flow through the grid."""
+    img, fx, fy, grid = _rand_case()
+    imgb = jnp.asarray(img).astype(jnp.bfloat16)
+    gridj = jnp.asarray(grid)
+
+    monkeypatch.setenv('SLOWTV_FORCE_PALLAS_WARP', '1')
+    out_pallas = grid_sample(imgb, gridj)
+    g_pallas = jax.grad(lambda gr: (grid_sample(imgb, gr) ** 2).sum())(gridj)
+    monkeypatch.setenv('SLOWTV_DISABLE_PALLAS_WARP', '1')
+    out_xla = grid_sample(imgb, gridj)
+    g_xla = jax.grad(lambda gr: (grid_sample(imgb, gr) ** 2).sum())(gridj)
+
+    assert out_pallas.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(out_pallas), np.asarray(out_xla),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(g_pallas), np.asarray(g_xla),
+                               atol=2e-3, rtol=1e-3)
+
+
+def test_image_recon_warp_bf16_close_to_f32():
+    """The `trainer.warp_bf16` recipe option shifts the photometric loss by no
+    more than the bf16 source quantization (~2^-9 relative)."""
+    from slowtv_monodepth_tpu.core import handlers as h
+    from slowtv_monodepth_tpu.losses import ReconstructionLoss
+
+    b, hh, ww = 2, 32, 64
+    imgs = jnp.asarray(RNG.random((b, hh, ww, 3), dtype=np.float32))
+    supp = jnp.stack([jnp.roll(imgs, 2, axis=2), jnp.roll(imgs, -2, axis=2)])
+    Ts = jnp.broadcast_to(jnp.eye(4), (2, b, 4, 4))
+    Ks = jnp.broadcast_to(jnp.asarray(
+        [[0.58 * ww, 0, 0.5 * ww, 0], [0, 1.92 * hh, 0.5 * hh, 0],
+         [0, 0, 1, 0], [0, 0, 0, 1.0]], dtype=jnp.float32), (b, 4, 4))
+    depths = {0: 2 + jnp.asarray(RNG.random((b, hh, ww, 1), dtype=np.float32))}
+    crit = ReconstructionLoss(use_min=True, use_automask=True)
+    rng = jax.random.PRNGKey(0)
+
+    l32, _ = h.image_recon(crit, depths, None, imgs, supp, Ts, Ks, rng=rng)
+    l16, _ = h.image_recon(crit, depths, None, imgs, supp, Ts, Ks, rng=rng,
+                           warp_bf16=True)
+    np.testing.assert_allclose(float(l32), float(l16), rtol=2e-2)
+    assert float(l32) != float(l16)  # It IS a different quantization.
