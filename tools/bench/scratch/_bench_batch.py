@@ -1,4 +1,7 @@
 """Measure KBR train-step throughput vs per-chip batch size (honest sync)."""
+import sys as _sys
+from pathlib import Path as _P
+_sys.path.insert(0, str(_P(__file__).resolve().parents[3]))
 import os, sys, time
 import jax, jax.numpy as jnp
 

@@ -1,4 +1,7 @@
 """Break down KBR train-step time: encoder fwd/bwd vs warp+loss on TPU."""
+import sys as _sys
+from pathlib import Path as _P
+_sys.path.insert(0, str(_P(__file__).resolve().parents[3]))
 import time
 import jax, jax.numpy as jnp
 jax.config.update('jax_compilation_cache_dir', '/root/repo/.jax_cache')

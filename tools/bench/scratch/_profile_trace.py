@@ -3,6 +3,9 @@
 Writes to /tmp/jtrace; we then inspect whatever artifacts appear (perfetto
 trace.json.gz has per-op device lanes when the platform supports tracing).
 """
+import sys as _sys
+from pathlib import Path as _P
+_sys.path.insert(0, str(_P(__file__).resolve().parents[3]))
 import time
 import jax, jax.numpy as jnp
 
