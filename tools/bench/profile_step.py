@@ -150,6 +150,25 @@ def parse(steps: int, top: int) -> None:
     for op, ms in by_cat_op['copy/transpose/DMA'].most_common(20):
         print(f'{ms:8.2f}  {op}')
 
+    # Module attribution: bucket tf_op paths by network/stage so encoder/
+    # decoder/loss shares are readable at a glance.
+    import re
+    by_mod = collections.Counter()
+    for e in lane_events:
+        tf_op = (e.get('args') or {}).get('tf_op', '')
+        dur_ms = e['dur'] / 1000.0 / steps
+        net = ('DepthNet' if 'DepthNet' in tf_op else
+               'PoseNet' if 'PoseNet' in tf_op else
+               'warp' if 'warp_bilinear' in tf_op else
+               'photo' if '_photo_' in tf_op else 'glue/loss/opt')
+        m = re.search(r'(stem|stage\d|decoders_disp|heads)', tf_op)
+        part = m.group(1) if m else ''
+        bwd = 'bwd' if 'transpose(jvp' in tf_op else 'fwd'
+        by_mod[f'{net:12s} {part:14s} {bwd}'] += dur_ms
+    print('\n=== per-step device time by module ===')
+    for mod, ms in by_mod.most_common():
+        print(f'{ms:8.2f} ms  {mod}')
+
 
 if __name__ == '__main__':
     ap = ArgumentParser()
