@@ -35,6 +35,7 @@ from ..parallel import make_train_step, shard_batch
 from ..parallel.multihost import global_batch_sharding, is_main_process
 from ..utils import MultiLevelTimer, flatten_dict
 from .aspect_ratio import aspect_ratio_aug
+from .device_transform import derive_batch, needs_derive
 from .checkpoint import CheckpointManager, get_latest_ckpt, load_checkpoint
 from .trainer import MonoDepthTrainer
 
@@ -177,13 +178,15 @@ class MonoDepthLoop:
         return self._steps[key]
 
     def _init_state(self, batch) -> None:
-        x, _, m = batch
+        x, y, m = batch
         supp_idxs = tuple(int(i) for i in x.get('supp_idxs', ()))
         # Params are spatial-size agnostic; trace init on a multiple-of-32
         # crop. The raw dataset shape may be conv-hostile (e.g. SlowTV's
         # native 720x1280, which only ever reaches the nets after the
         # aspect-ratio aug resizes it to a mult-of-32 bucket).
-        img = jax.numpy.asarray(x['imgs'][:1])
+        # Under `device_transform` the host x has no images; y's raw images
+        # share the shape, and init only needs shapes.
+        img = jax.numpy.asarray((x['imgs'] if 'imgs' in x else y['imgs'])[:1])
         h32 = max(32, img.shape[1] // 32 * 32)
         w32 = max(32, img.shape[2] // 32 * 32)
         xd = {'imgs': img[:, :h32, :w32]}
@@ -212,11 +215,21 @@ class MonoDepthLoop:
             self.state = jax.device_put(self.state, replicated(self.mesh))
 
     def _place(self, x: dict, y: dict):
-        """Host numpy batch -> device (sharded over the mesh when present)."""
+        """Host numpy batch -> device (sharded over the mesh when present).
+
+        Datasets with `device_transform: true` ship only the raw `y` images;
+        the standardized `x` images are recreated here on device
+        (`device_transform.derive_x`) BEFORE the aspect-ratio aug, preserving
+        the host pipeline's jiggle -> standardize -> crop order.
+        """
         x = {k: v for k, v in x.items() if k != 'supp_idxs'}
         if self.mesh is not None:
-            return global_batch_sharding(self.mesh, (x, y))
-        return jax.device_put((x, y))
+            xb, yb = global_batch_sharding(self.mesh, (x, y))
+        else:
+            xb, yb = jax.device_put((x, y))
+        if needs_derive(xb):
+            xb, yb = derive_batch(xb, yb)
+        return xb, yb
 
     def _precompile_buckets(self) -> None:
         """AOT-compile the train step for every aspect-ratio-aug bucket.
@@ -242,7 +255,8 @@ class MonoDepthLoop:
                 tcfg.get('aspect_ratio_max', 1.0)))
             LOGGER.info(f'Precompiling {len(buckets)} buckets for "{name}"...')
             step = self._step_fn(supp, train=True)
-            for h, w in buckets:
+            for bi, (h, w) in enumerate(buckets):
+                LOGGER.info(f'  bucket {bi + 1}/{len(buckets)}: {h}x{w}')
                 imgs = jnp.zeros((b, h, w, 3), jnp.float32)
                 sup = jnp.zeros((len(supp), b, h, w, 3), jnp.float32)
                 K = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (b, 4, 4))

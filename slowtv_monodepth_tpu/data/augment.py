@@ -14,8 +14,8 @@ from typing import Optional
 
 import numpy as np
 
-__all__ = ['ColorJiggle', 'adjust_brightness', 'adjust_contrast',
-           'adjust_saturation', 'adjust_hue']
+__all__ = ['ColorJiggle', 'PHOTO_OP_IDS', 'adjust_brightness',
+           'adjust_contrast', 'adjust_saturation', 'adjust_hue']
 
 _GRAY = np.array([0.299, 0.587, 0.114], np.float32)
 
@@ -66,6 +66,12 @@ def adjust_hue(img: np.ndarray, shift: float) -> np.ndarray:
     return np.stack([r2, g2, b2], axis=-1).astype(img.dtype)
 
 
+# Op ids shared with the device replay (`core/device_transform._OPS` uses the
+# same index order).
+PHOTO_OP_IDS = {adjust_brightness: 0, adjust_contrast: 1,
+                adjust_saturation: 2, adjust_hue: 3}
+
+
 class ColorJiggle:
     """:param brightness/contrast/saturation: (lo, hi) multiplicative ranges.
     :param hue: (lo, hi) additive hue rotation range.
@@ -92,8 +98,13 @@ class ColorJiggle:
         self.rng.shuffle(ops)
         return ops
 
-    def __call__(self, imgs: np.ndarray) -> np.ndarray:
-        """:param imgs: (..., h, w, 3) float images in [0, 1]."""
-        for fn, factor in self.sample():
+    @staticmethod
+    def apply(imgs: np.ndarray, ops: list) -> np.ndarray:
+        """Apply previously-sampled (fn, factor) pairs in order."""
+        for fn, factor in ops:
             imgs = fn(imgs, factor)
         return imgs
+
+    def __call__(self, imgs: np.ndarray) -> np.ndarray:
+        """:param imgs: (..., h, w, 3) float images in [0, 1]."""
+        return self.apply(imgs, self.sample())

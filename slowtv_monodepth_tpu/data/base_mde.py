@@ -45,6 +45,8 @@ class MdeBaseDataset(BaseDataset, retry_exc=SuppImageNotFoundError):
                  supp_idxs: Optional[Union[int, Sequence[int]]] = None,
                  randomize_supp: bool = False,
                  augmentations: Optional[dict] = None,
+                 device_transform: bool = False,
+                 transfer_uint8: bool = False,
                  **kwargs):
         super().__init__(datum=datum, **kwargs)
         self.shape = tuple(shape) if shape else tuple(self.SHAPE)
@@ -52,6 +54,19 @@ class MdeBaseDataset(BaseDataset, retry_exc=SuppImageNotFoundError):
         self.randomize_supp = randomize_supp
         self.should_resize = shape is not None
         self.augmentations = augmentations or {}
+        # TPU input-pipeline option: ship ONLY the raw `y` images and the
+        # sampled photo-jiggle parameters; the standardized `x` images are
+        # recreated on device (`core/device_transform.derive_x`), halving
+        # host->device image traffic. `play()` is unavailable in this mode.
+        self.device_transform = device_transform
+        # Further opt-in 4x cut: ship the y images as uint8 (round(v*255));
+        # the device widens back to f32/255. Exact when the dataset reads
+        # 8-bit sources at native resolution; after a resize it quantizes
+        # interpolated values at 1/255 — finer than the source content, same
+        # spirit as the bf16 warp-source option (cfg/kbr/tpu.yaml notes).
+        self.transfer_uint8 = transfer_uint8
+        if transfer_uint8 and not device_transform:
+            raise ValueError('transfer_uint8 requires device_transform.')
 
         if isinstance(self.supp_idxs, int):
             self.supp_idxs = [self.supp_idxs]
@@ -115,7 +130,8 @@ class MdeBaseDataset(BaseDataset, retry_exc=SuppImageNotFoundError):
         x, y, m = super().collate_fn(items)
         if 'supp_idxs' in x:
             x['supp_idxs'] = x['supp_idxs'][0]  # Identical across the batch.
-            x['supp_imgs'] = np.swapaxes(x['supp_imgs'], 0, 1).copy()
+            if 'supp_imgs' in x:  # Absent under `device_transform`.
+                x['supp_imgs'] = np.swapaxes(x['supp_imgs'], 0, 1).copy()
             y['supp_imgs'] = np.swapaxes(y['supp_imgs'], 0, 1).copy()
         return x, y, m
 
@@ -201,21 +217,51 @@ class MdeBaseDataset(BaseDataset, retry_exc=SuppImageNotFoundError):
         return batch
 
     def apply_photo_aug(self, batch: tuple) -> tuple:
-        """Colour jiggle on `x` only, same factors across target + support."""
+        """Colour jiggle on `x` only, same factors across target + support.
+
+        Under `device_transform` the sampled (op order, factor) sequence is
+        recorded instead of applied; `core/device_transform.derive_x` replays
+        it on device with the identical math.
+        """
         x, y, m = batch
         m['augs'] += '[Photo]'
+        ops = self.photo.sample()
+        if self.device_transform:
+            from .augment import PHOTO_OP_IDS
+            x['photo_order'] = np.array([PHOTO_OP_IDS[fn] for fn, _ in ops],
+                                        np.int32)
+            x['photo_factors'] = np.array([f for _, f in ops], np.float32)
+            x['photo_on'] = True  # Plain bool: collates to a (b,) array.
+            return batch
         imgs = x['imgs'][None]
         if self.supp_idxs:
             imgs = np.concatenate((imgs, x['supp_imgs']))
-        imgs = self.photo(imgs)
+        imgs = ColorJiggle.apply(imgs, ops)
         x['imgs'] = imgs[0]
         if self.supp_idxs:
             x['supp_imgs'] = imgs[1:]
         return batch
 
     def transform(self, batch: tuple) -> tuple:
-        """ImageNet standardization of `x` (ref `base_mde.py:276-281`)."""
+        """ImageNet standardization of `x` (ref `base_mde.py:276-281`).
+
+        Under `device_transform` the `x` images are dropped instead (the
+        device recreates them from `y`); only the jiggle parameters ride.
+        """
         x = batch[0]
+        if self.device_transform:
+            x.pop('imgs', None)
+            x.pop('supp_imgs', None)
+            x.setdefault('photo_order', np.arange(4, dtype=np.int32))
+            x.setdefault('photo_factors', np.ones(4, np.float32))
+            x.setdefault('photo_on', False)
+            if self.transfer_uint8:
+                y = batch[1]
+                y['imgs'] = np.round(y['imgs'] * 255).astype(np.uint8)
+                if 'supp_imgs' in y:
+                    y['supp_imgs'] = np.round(
+                        y['supp_imgs'] * 255).astype(np.uint8)
+            return batch
         x['imgs'] = (x['imgs'] - IMAGENET_MEAN) / IMAGENET_STD
         if self.supp_idxs:
             x['supp_imgs'] = (x['supp_imgs'] - IMAGENET_MEAN) / IMAGENET_STD

@@ -85,6 +85,10 @@ def make_cfg(batch: int, shape, ref_shape, small: bool, workers: int) -> dict:
             'slow_tv_lmdb': {
                 'split': 'all', 'datum': 'image support K', 'supp_idxs': [-1, 1],
                 'randomize_supp': True,
+                # TPU input path: derive x on device; ship y as uint8 (8x
+                # fewer H2D bytes than the reference's two-f32-copies
+                # contract — exact here: JPEG decode at native resolution).
+                'device_transform': True, 'transfer_uint8': True,
                 'train': {'mode': 'train', 'use_aug': True, 'shape': list(shape)},
                 'val': {'mode': 'val', 'use_aug': False, 'shape': [384, 640]},
             },
@@ -145,6 +149,26 @@ def main():
 
         cfg = make_cfg(args.batch, shape, ref_shape, args.small, args.workers)
         cfg['trainer']['max_epochs'] = args.epochs
+
+        # Host-side capability first: loader-only throughput (JPEG decode +
+        # aug + collate, no device), and the H2D payload per batch. Together
+        # with the synthetic step rate these attribute any e2e gap: on this
+        # repo's remote-tunnel TPU the transfer link (~30 MB/s observed) is
+        # the binding constraint, not the loader or the step.
+        from slowtv_monodepth_tpu import parsers
+        dl = parsers.get_dl('train', cfg['dataset'], cfg['loader'])
+        t0 = time.perf_counter()
+        n_imgs = bytes_per_batch = 0
+        for x, y, m in dl:
+            if not n_imgs:
+                bytes_per_batch = sum(
+                    v.nbytes for d in (x, y) for v in d.values()
+                    if hasattr(v, 'nbytes'))
+            n_imgs += len(m['items'])
+        loader_rate = n_imgs / (time.perf_counter() - t0)
+        print(f'[loader-only] {n_imgs} imgs at {loader_rate:.2f} imgs/s host '
+              f'decode+aug; H2D payload {bytes_per_batch / 1e6:.1f} MB/batch')
+
         loop = TimedLoop(cfg, ckpt_dir=Path(td) / 'ckpt', use_markers=False)
         loop.epoch_stats = []
         loop.ckpt.step = lambda *a, **kw: None  # Not measuring checkpoint IO.
@@ -156,6 +180,8 @@ def main():
         'value': round(n / dt, 3),
         'unit': 'imgs/sec (sustained, last epoch)',
         'epochs': [round(i / d, 2) for i, d in loop.epoch_stats],
+        'loader_only_imgs_per_sec': round(loader_rate, 2),
+        'h2d_mb_per_batch': round(bytes_per_batch / 1e6, 1),
     }))
 
 
