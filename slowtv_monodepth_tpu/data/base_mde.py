@@ -76,6 +76,19 @@ class MdeBaseDataset(BaseDataset, retry_exc=SuppImageNotFoundError):
         self.prob_photo = self.augmentations.get('photo', 0 if self.augmentations else 0.5)
         self.photo = ColorJiggle()
 
+    def _to_img(self, img) -> np.ndarray:
+        """Finalize a loaded PIL image (after any PIL-side resize).
+
+        f32 [0, 1] normally; raw uint8 under `transfer_uint8` — PIL resizes
+        interpolate in uint8 BEFORE this conversion, so keeping uint8 end to
+        end is bit-identical to converting to f32 and re-rounding, at ~1/4
+        of the host-side cost (the f32 conversion dominates item loading).
+        """
+        if self.transfer_uint8:
+            return np.ascontiguousarray(np.asarray(img))
+        from .base import img_to_f32
+        return img_to_f32(img)
+
     # ------------------------------------------------------------- properties
     @property
     def h(self) -> int:
@@ -256,11 +269,12 @@ class MdeBaseDataset(BaseDataset, retry_exc=SuppImageNotFoundError):
             x.setdefault('photo_factors', np.ones(4, np.float32))
             x.setdefault('photo_on', False)
             if self.transfer_uint8:
+                # `_to_img` keeps images uint8 end to end; quantize here only
+                # if a subclass loader produced f32 anyway.
                 y = batch[1]
-                y['imgs'] = np.round(y['imgs'] * 255).astype(np.uint8)
-                if 'supp_imgs' in y:
-                    y['supp_imgs'] = np.round(
-                        y['supp_imgs'] * 255).astype(np.uint8)
+                for k in ('imgs', 'supp_imgs'):
+                    if k in y and y[k].dtype != np.uint8:
+                        y[k] = np.round(y[k] * 255).astype(np.uint8)
             return batch
         x['imgs'] = (x['imgs'] - IMAGENET_MEAN) / IMAGENET_STD
         if self.supp_idxs:

@@ -42,7 +42,7 @@ class EvalOnlyDataset(MdeBaseDataset):
     def _img_from_pil(self, img: Image.Image) -> np.ndarray:
         if self.should_resize:
             img = img.resize(self.size, resample=Image.Resampling.BILINEAR)
-        return np.array(img.convert('RGB'), dtype=np.float32) / 255.0
+        return self._to_img(img.convert('RGB'))
 
     def _load_stereo_image(self, data: Any):
         raise NotImplementedError(f'{self.__class__.__name__} has no stereo pairs.')

@@ -81,7 +81,7 @@ class KittiRawDataset(MdeBaseDataset):
         img = Image.open(file)
         if self.should_resize:
             img = img.resize(self.size, resample=Image.Resampling.BILINEAR)
-        return np.array(img, dtype=np.float32) / 255.0
+        return self._to_img(img)
 
     def _load_stereo_image(self, data: kr.Item) -> np.ndarray:
         return self._load_image(kr.Item(data.seq, data.stem, self._cam2stereo[data.cam]))

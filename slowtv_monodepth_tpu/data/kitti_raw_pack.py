@@ -69,7 +69,7 @@ class KittiRawPackDataset(KittiRawDataset):
         if self.should_resize:
             from PIL import Image
             img = img.resize(self.size, resample=Image.Resampling.BILINEAR)
-        return np.array(img.convert('RGB'), dtype=np.float32) / 255.0
+        return self._to_img(img.convert('RGB'))
 
     def _load_depth(self, data: kr.Item) -> np.ndarray:
         depth = self.depth_dbs[f'{data.seq}/{data.cam}'][f'{data.stem:010}']

@@ -56,7 +56,7 @@ class MannequinDataset(MdeBaseDataset):
         img = Image.open(file)
         if self.should_resize:
             img = img.resize(self.size, resample=Image.Resampling.BILINEAR)
-        return np.array(img, dtype=np.float32) / 255.0
+        return self._to_img(img)
 
     def get_supp_scale(self, data: mc.Item) -> int:
         if not self.randomize_supp:

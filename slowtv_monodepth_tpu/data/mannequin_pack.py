@@ -46,7 +46,7 @@ class MannequinPackDataset(MannequinDataset):
         img = self.img_db.pil(k)
         if self.should_resize:
             img = img.resize(self.size, resample=Image.Resampling.BILINEAR)
-        return np.array(img.convert('RGB'), dtype=np.float32) / 255.0
+        return self._to_img(img.convert('RGB'))
 
     def _load_depth(self, data: Item) -> np.ndarray:
         k = f'{data.seq}/{data.stem}'

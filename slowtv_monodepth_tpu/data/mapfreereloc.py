@@ -70,7 +70,7 @@ class MapFreeRelocDataset(MdeBaseDataset):
         img = data.load_img()
         if self.should_resize:
             img = img.resize(self.size, resample=Image.Resampling.BILINEAR)
-        return np.array(img, dtype=np.float32) / 255.0
+        return self._to_img(img)
 
     def _load_depth(self, data: mfr.Item) -> np.ndarray:
         depth = data.load_depth(self.depth_src)

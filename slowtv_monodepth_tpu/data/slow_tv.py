@@ -59,7 +59,7 @@ class SlowTvDataset(MdeBaseDataset):
         img = Image.open(file)
         if self.should_resize:
             img = img.resize(self.size, resample=Image.Resampling.BILINEAR)
-        return np.array(img, dtype=np.float32) / 255.0
+        return self._to_img(img)
 
     def get_supp_scale(self, data: stv.Item) -> int:
         if not self.randomize_supp:

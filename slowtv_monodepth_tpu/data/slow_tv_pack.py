@@ -63,7 +63,7 @@ class SlowTvPackDataset(SlowTvDataset):
         img = db.pil(k)
         if self.should_resize:
             img = img.resize(self.size, resample=Image.Resampling.BILINEAR)
-        return np.array(img.convert('RGB'), dtype=np.float32) / 255.0
+        return self._to_img(img.convert('RGB'))
 
     def _load_K(self, data: Item) -> np.ndarray:
         K = np.asarray(self.calib_db[data.seq], np.float32).copy()

@@ -12,6 +12,7 @@ import numpy as np
 from PIL import Image
 
 from .. import register
+from .base import img_to_f32
 from .base_mde import MdeBaseDataset
 from .devkits import syns_patches as syp
 
@@ -59,7 +60,7 @@ class SynsPatchesDataset(MdeBaseDataset):
         img = Image.open(syp.get_image_file(data.seq, data.stem))
         if self.should_resize:
             img = img.resize(self.size, resample=Image.Resampling.BILINEAR)
-        return np.array(img, dtype=np.float32) / 255.0
+        return self._to_img(img)
 
     def _load_depth(self, data: syp.Item) -> np.ndarray:
         depth = np.load(syp.get_depth_file(data.seq, data.stem)).astype(np.float32)
@@ -78,7 +79,7 @@ class SynsPatchesDataset(MdeBaseDataset):
         edge = Image.open(syp.get_edges_file(data.seq, 'edges', data.stem))
         if self.should_resize:
             edge = edge.resize(self.size, resample=Image.Resampling.NEAREST)
-        return (np.array(edge, dtype=np.float32) / 255.0)[..., None].astype(bool)
+        return img_to_f32(edge)[..., None].astype(bool)
 
     def _load_K(self, data: Any) -> np.ndarray:
         K = syp.load_intrinsics()

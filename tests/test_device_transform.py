@@ -127,6 +127,23 @@ def test_transfer_uint8_exact_at_native_resolution(slowtv_root):
         SlowTvDataset(transfer_uint8=True, **kw)  # Requires device_transform.
 
 
+def test_transfer_uint8_bit_identical_under_resize(slowtv_root):
+    """PIL resizes interpolate in uint8 BEFORE the f32 conversion, so the
+    uint8-native path equals the f32 path exactly even with a resize."""
+    kw = dict(split='all', mode='train', datum='image support K',
+              supp_idxs=[-1, 1], shape=(32, 48), use_aug=False,
+              randomize=False)
+    f32 = SlowTvDataset(device_transform=True, **kw)
+    u8 = SlowTvDataset(device_transform=True, transfer_uint8=True, **kw)
+    _, yf, _ = f32[0]
+    _, yu, _ = u8[0]
+    assert yu['imgs'].dtype == np.uint8
+    np.testing.assert_array_equal(
+        yu['imgs'].astype(np.float32) / 255, yf['imgs'])
+    np.testing.assert_array_equal(
+        yu['supp_imgs'].astype(np.float32) / 255, yf['supp_imgs'])
+
+
 def test_loop_derives_before_ar_aug(slowtv_root):
     """`MonoDepthLoop._place` recreates x on device for a shipped batch."""
     from slowtv_monodepth_tpu.core.loop import MonoDepthLoop
