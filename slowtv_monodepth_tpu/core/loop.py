@@ -185,8 +185,11 @@ class MonoDepthLoop:
         # native 720x1280, which only ever reaches the nets after the
         # aspect-ratio aug resizes it to a mult-of-32 bucket).
         # Under `device_transform` the host x has no images; y's raw images
-        # share the shape, and init only needs shapes.
+        # share the shape, and init only needs shapes. Widen a
+        # `transfer_uint8` batch so the init trace sees float inputs.
         img = jax.numpy.asarray((x['imgs'] if 'imgs' in x else y['imgs'])[:1])
+        if img.dtype == jax.numpy.uint8:
+            img = img.astype(jax.numpy.float32) / 255.0
         h32 = max(32, img.shape[1] // 32 * 32)
         w32 = max(32, img.shape[2] // 32 * 32)
         xd = {'imgs': img[:, :h32, :w32]}

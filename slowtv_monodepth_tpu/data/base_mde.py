@@ -293,6 +293,10 @@ class MdeBaseDataset(BaseDataset, retry_exc=SuppImageNotFoundError):
     def show(self, batch: tuple, axs) -> None:
         from ..tools import rgb_from_disp
         x, y, m = batch
+        if 'imgs' not in x:
+            raise RuntimeError(
+                'show()/play() need host-side x images; construct the dataset '
+                'with device_transform=False for visual debugging.')
         i = 0
         axs[i].imshow(np.clip(x['imgs'] * IMAGENET_STD + IMAGENET_MEAN, 0, 1))
         if self.supp_idxs:
