@@ -61,7 +61,28 @@ B, H, W = 8, 384, 640
 WARMUP, ITERS, ROUNDS = 3, 10, 3
 
 
+def _probe_backend(timeout_s: float = 180.0):
+    """Fail fast (exit 1) if the accelerator runtime never comes up.
+
+    The remote-tunnel TPU backend can wedge such that `jax.devices()` blocks
+    forever in C; probing from a daemon thread lets the bench exit with a
+    clear error instead of hanging the harness.
+    """
+    import threading
+    out = []
+    t = threading.Thread(target=lambda: out.append(jax.devices()), daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if not out:
+        import sys
+        print(f'bench: jax backend init did not complete within {timeout_s}s '
+              f'(accelerator runtime unreachable)', file=sys.stderr)
+        sys.exit(1)
+    return out[0]
+
+
 def main():
+    _probe_backend()
     from slowtv_monodepth_tpu import parsers
     from slowtv_monodepth_tpu.core import MonoDepthTrainer
     from slowtv_monodepth_tpu.parallel import make_mesh, make_train_step, shard_batch
