@@ -175,9 +175,15 @@ class MonoDepthTrainer:
                 out, new_aux['autoencoder'] = self._apply('autoencoder', params, aux, imgs, train)
                 fwd.update(out)
 
+                # The support pass runs in the SAME mode as the target pass
+                # (ref `trainer.py:269-272` calls one train-mode net on both):
+                # BatchNorm must use batch statistics, and its running-stat
+                # update chains on the target pass's update.
                 n, b = x['supp_imgs'].shape[:2]
                 supp_flat = x['supp_imgs'].reshape((n * b,) + x['supp_imgs'].shape[2:])
-                out_supp, _ = self._apply('autoencoder', params, aux, supp_flat, train=False)
+                aux_chained = {**aux, 'autoencoder': new_aux['autoencoder']}
+                out_supp, new_aux['autoencoder'] = self._apply(
+                    'autoencoder', params, aux_chained, supp_flat, train)
                 fwd['supp_autoenc_feats'] = [f.reshape((n, b) + f.shape[1:])
                                              for f in out_supp['autoenc_feats']]
                 fwd['supp_autoenc_imgs'] = {
@@ -229,7 +235,7 @@ class MonoDepthTrainer:
 
     # ------------------------------------------------------------------- loss
     def forward_loss(self, fwd: dict, x: dict, y: dict, supp_idxs: tuple,
-                     rng: jax.Array, params=None, aux=None):
+                     rng: jax.Array, params=None, aux=None, train: bool = True):
         """Dispatch every configured loss (ref `trainer.py:350-472`)."""
         y = dict(y)
         idx_stereo = next((j for j, i in enumerate(supp_idxs) if i == 0), None)
@@ -257,7 +263,8 @@ class MonoDepthTrainer:
                         warp_bf16=self.warp_bf16)
 
             elif k == 'feat_recon':
-                feat, supp_feat = self.extract_features(fwd, x, params, aux)
+                feat, supp_feat = self.extract_features(fwd, x, params, aux,
+                                                        train=train)
                 l, ld = h.feat_recon(
                     crit, fwd['depth_up'], fwd.get('mask_up'), feat, supp_feat,
                     fwd['Ts'], Ks, rng=rng_k)
@@ -319,18 +326,28 @@ class MonoDepthTrainer:
 
         return loss, loss_dict
 
-    def extract_features(self, fwd: dict, x: dict, params, aux):
+    def extract_features(self, fwd: dict, x: dict, params, aux, train: bool = True):
         """Features for `feat_recon` (ref `trainer.py:475-484`); gradients are
-        stopped inside the handler."""
+        stopped inside the handler.
+
+        The support-encoder pass runs in the same mode as the step (the
+        reference's net stays in train mode under its `@torch.no_grad()`), so
+        BatchNorm uses batch statistics. The running-stat update of this extra
+        pass is discarded — torch would fold it in, but it only shifts
+        eval-mode statistics, never the training trajectory."""
         if 'autoencoder' in self.nets:
             return fwd['autoenc_feats'], fwd['supp_autoenc_feats']
         feat = fwd['depth_feats']
         n, b = x['supp_imgs'].shape[:2]
         supp_flat = x['supp_imgs'].reshape((n * b,) + x['supp_imgs'].shape[2:])
         variables = {'params': params['depth'], **aux.get('depth', {})}
+        mutable = ['batch_stats'] if train and 'batch_stats' in aux.get('depth', {}) else False
         supp_feat = self.nets['depth'].apply(
-            variables, supp_flat, train=False,
-            method=lambda m, xx, train: m.encoder(xx, train=train))
+            variables, supp_flat, train=train,
+            method=lambda m, xx, train: m.encoder(xx, train=train),
+            mutable=mutable)
+        if mutable:
+            supp_feat, _ = supp_feat
         supp_feat = [f.reshape((n, b) + f.shape[1:]) for f in supp_feat]
         return feat, supp_feat
 
@@ -342,7 +359,7 @@ class MonoDepthTrainer:
         fwd, new_aux = self.forward(params, aux, x, supp_idxs, train)
         fwd = self.forward_postprocess(fwd, x, y, supp_idxs)
         loss, loss_dict = self.forward_loss(fwd, x, y, supp_idxs, rng_loss,
-                                            params=params, aux=aux)
+                                            params=params, aux=aux, train=train)
         return loss, (loss_dict, fwd, new_aux)
 
     def scalars(self, loss, loss_dict: dict, fwd: dict, y: dict) -> dict:

@@ -141,9 +141,12 @@ def _convert_autoencoder(sd: dict, net_cfg: dict) -> tuple[dict, dict]:
     enc_name = net_cfg.get('enc_name', 'resnet18')
     out_sc = tuple(net_cfg.get('out_scales', (0, 1, 2, 3)))
     enc_params, enc_stats = _convert_encoder(_sub(sd, 'encoder.'), enc_name)
+    # Reference AutoencoderNet has a SINGLE `self.decoder` attribute
+    # (ref `src/networks/autoencoder.py:45-49`), unlike DepthNet's
+    # `self.decoders` ModuleDict.
     params = {'encoder': enc_params,
               'decoders_autoencoder': convert_monodepth_decoder(
-                  _sub(sd, 'decoders.autoencoder.'), out_sc)}
+                  _sub(sd, 'decoder.'), out_sc)}
     aux = {'batch_stats': {'encoder': enc_stats}} if enc_stats else {}
     return params, aux
 

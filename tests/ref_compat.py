@@ -223,23 +223,25 @@ def install_timm_resnet18():
 
 
 def make_create_optimizer_v2():
-    """Faithful `timm.optim.create_optimizer_v2` for opt='adamw'.
+    """Faithful `timm.optim.create_optimizer_v2` for opt in {'adamw', 'adam'}.
 
     Replicates timm 0.6.x semantics the reference relies on
     (`src/tools/parsers.py:243`): given an `nn.Module` with non-zero weight
     decay and the default `filter_bias_and_bn=True`, biases and ndim<=1
     params (norm scales/biases) go into a weight_decay=0 param group
     (`param_groups_weight_decay`); an explicit param-group list passes
-    through unfiltered. The underlying optimizer for 'adamw' is
-    `torch.optim.AdamW` in timm as well.
+    through unfiltered. The underlying optimizers match timm's: 'adamw' ->
+    `torch.optim.AdamW`, 'adam' -> `torch.optim.Adam`.
     """
     import torch
     import torch.nn as nn
 
+    opts = {'adamw': torch.optim.AdamW, 'adam': torch.optim.Adam}
+
     def create_optimizer_v2(model_or_params, opt='sgd', lr=None,
                             weight_decay=0.0, filter_bias_and_bn=True, **kw):
-        if opt != 'adamw':
-            raise NotImplementedError(f'shim only supports adamw (got {opt})')
+        if opt not in opts:
+            raise NotImplementedError(f'shim only supports {set(opts)} (got {opt})')
         params = model_or_params
         if isinstance(model_or_params, nn.Module):
             if weight_decay and filter_bias_and_bn:
@@ -254,6 +256,6 @@ def make_create_optimizer_v2():
                 weight_decay = 0.0
             else:
                 params = model_or_params.parameters()
-        return torch.optim.AdamW(params, lr=lr, weight_decay=weight_decay, **kw)
+        return opts[opt](params, lr=lr, weight_decay=weight_decay, **kw)
 
     return create_optimizer_v2

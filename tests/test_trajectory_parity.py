@@ -46,6 +46,10 @@ B, H, W = 2, 64, 96
 N_STEPS = 4
 SUPP_IDXS = (-1, 1)
 
+# Extra y keys (beyond imgs/supp_imgs/K) that ride along NHWC->NCHW when
+# feeding the reference: name -> number of spatial dims to permute.
+_IMAGE_KEYS = ('depth_hints',)
+
 
 def make_cfg():
     """KBR-style recipe at test scale (ref `cfg/kbr/default.yaml` wiring)."""
@@ -66,9 +70,15 @@ def make_cfg():
     }
 
 
-def make_batches(n_steps):
-    """Identical per-step batches for both frameworks (numpy, NHWC)."""
-    rng = np.random.default_rng(7)
+def make_batches(n_steps, supp_idxs=SUPP_IDXS, hints=False, seed=7):
+    """Identical per-step batches for both frameworks (numpy, NHWC).
+
+    `supp_idxs` containing 0 adds a stereo support frame + `T_stereo`
+    (baseline +0.1 along x, the KITTI convention, ref
+    `src/datasets/kitti_raw.py:131-135`); `hints=True` adds a smooth
+    positive `depth_hints` map with ~10% invalid (zero) pixels.
+    """
+    rng = np.random.default_rng(seed)
     batches = []
     for _ in range(n_steps):
         # Smooth textured images: random low-res upsampled — keeps the
@@ -77,15 +87,26 @@ def make_batches(n_steps):
         imgs = np.kron(base, np.ones((1, 4, 4, 1), np.float32))
         imgs += 0.05 * rng.random((B, H, W, 3), dtype=np.float32)
         imgs = np.clip(imgs, 0, 1)
-        supp = np.stack([np.roll(imgs, 3, axis=2), np.roll(imgs, -3, axis=2)])
+        supp = np.stack([np.roll(imgs, 5, axis=2) if i == 0
+                         else np.roll(imgs, 3 * i, axis=2) for i in supp_idxs])
         K = np.broadcast_to(np.array(
             [[0.6 * W, 0, 0.5 * W, 0], [0, 0.6 * H, 0.5 * H, 0],
              [0, 0, 1, 0], [0, 0, 0, 1]], np.float32), (B, 4, 4)).copy()
-        batches.append({'imgs': imgs, 'supp_imgs': supp, 'K': K})
+        b = {'imgs': imgs, 'supp_imgs': supp, 'K': K}
+        if 0 in supp_idxs:
+            T = np.broadcast_to(np.eye(4, dtype=np.float32), (B, 4, 4)).copy()
+            T[:, 0, 3] = 0.1
+            b['T_stereo'] = T
+        if hints:
+            d = rng.random((B, H // 8, W // 8, 1), dtype=np.float32)
+            d = 1.0 + 9.0 * np.kron(d, np.ones((1, 8, 8, 1), np.float32))
+            d[rng.random(d.shape) < 0.1] = 0.0  # invalid pixels
+            b['depth_hints'] = d.astype(np.float32)
+        batches.append(b)
     return batches
 
 
-def run_reference(cfg, batches):
+def run_reference(cfg, batches, supp_idxs=SUPP_IDXS):
     """Build the reference MonoDepthModule and run N full optimizer steps."""
     install_timm_resnet18()
     import src.tools.parsers as ref_parsers
@@ -114,9 +135,14 @@ def run_reference(cfg, batches):
     for b in batches:
         x = {'imgs': torch.from_numpy(b['imgs']).permute(0, 3, 1, 2).contiguous(),
              'supp_imgs': torch.from_numpy(b['supp_imgs']).permute(0, 1, 4, 2, 3).contiguous(),
-             'supp_idxs': torch.tensor(SUPP_IDXS)}
+             'supp_idxs': torch.tensor(supp_idxs)}
         y = {'imgs': x['imgs'].clone(), 'supp_imgs': x['supp_imgs'].clone(),
              'K': torch.from_numpy(b['K'])}
+        if 'T_stereo' in b:
+            y['T_stereo'] = torch.from_numpy(b['T_stereo'])
+        for k in _IMAGE_KEYS:
+            if k in b:
+                y[k] = torch.from_numpy(b[k]).permute(0, 3, 1, 2).contiguous()
         loss, _, _ = module.step((x, y, {}), mode='train')
         opt.zero_grad(set_to_none=True)
         loss.backward()
@@ -125,7 +151,7 @@ def run_reference(cfg, batches):
     return sd0, losses
 
 
-def run_ours(cfg, sd0, batches):
+def run_ours(cfg, sd0, batches, supp_idxs=SUPP_IDXS):
     """Load the converted reference init and run the same N steps here."""
     import jax.numpy as jnp
 
@@ -136,7 +162,7 @@ def run_ours(cfg, sd0, batches):
     tx = parsers.make_optimizer(cfg)
     x0 = {'imgs': jnp.asarray(batches[0]['imgs']),
           'supp_imgs': jnp.asarray(batches[0]['supp_imgs'])}
-    state = trainer.init_state(jax.random.PRNGKey(0), x0, SUPP_IDXS, tx)
+    state = trainer.init_state(jax.random.PRNGKey(0), x0, supp_idxs, tx)
 
     # The converted trees must be drop-in for the initialized ones.
     for k in state.params:
@@ -146,24 +172,205 @@ def run_ours(cfg, sd0, batches):
     state = state.replace(params=params, aux=aux,
                           opt_state=tx.init(params))
 
-    step = make_train_step(trainer, SUPP_IDXS, tx, donate=False)
+    step = make_train_step(trainer, supp_idxs, tx, donate=False)
     losses = []
     for i, b in enumerate(batches):
         x = {'imgs': jnp.asarray(b['imgs']), 'supp_imgs': jnp.asarray(b['supp_imgs'])}
         y = {**x, 'K': jnp.asarray(b['K'])}
+        for k in ('T_stereo',) + _IMAGE_KEYS:
+            if k in b:
+                y[k] = jnp.asarray(b[k])
         state, scalars = step(state, x, y, jax.random.PRNGKey(100 + i))
         losses.append(float(scalars['loss']))
     return losses
 
 
-def test_full_training_trajectory_matches_reference():
-    cfg = make_cfg()
-    batches = make_batches(N_STEPS)
-    sd0, ref_losses = run_reference(cfg, batches)
-    our_losses = run_ours(cfg, sd0, batches)
-
+def assert_trajectories_match(cfg, supp_idxs, hints=False, n_steps=N_STEPS,
+                              rtol=1e-4):
+    batches = make_batches(n_steps, supp_idxs=supp_idxs, hints=hints)
+    sd0, ref_losses = run_reference(cfg, batches, supp_idxs)
+    our_losses = run_ours(cfg, sd0, batches, supp_idxs)
     assert all(np.isfinite(ref_losses)) and all(np.isfinite(our_losses))
-    np.testing.assert_allclose(our_losses, ref_losses, rtol=1e-4, atol=1e-5,
+    np.testing.assert_allclose(our_losses, ref_losses, rtol=rtol, atol=1e-5,
                                err_msg=f'ref={ref_losses} ours={our_losses}')
     # The trajectory must actually evolve (optimizer steps taking effect).
     assert abs(ref_losses[-1] - ref_losses[0]) > 1e-6
+
+
+def test_full_training_trajectory_matches_reference():
+    """KBR wiring: learned K, min-reproj + automask, edge-aware smoothness."""
+    assert_trajectories_match(make_cfg(), SUPP_IDXS)
+
+
+def test_trajectory_backbone_lr():
+    """KBR wiring + `backbone_lr`: the reference splits encoder/rest into
+    explicit param groups (ref `src/tools/parsers.py:233-241`), which
+    BYPASSES timm's `filter_bias_and_bn` weight-decay filtering — norms and
+    biases ARE decayed on this path. Pins our gating end to end."""
+    cfg = make_cfg()
+    cfg['optimizer']['backbone_lr'] = 1e-5
+    assert_trajectories_match(cfg, SUPP_IDXS)
+
+
+def test_trajectory_virtual_stereo_hints():
+    """DVSO wiring (ref `cfg/benchmark/dvso.yaml` merged over
+    `cfg/benchmark/default.yaml`): virtual-stereo depth net, NO pose net
+    (stereo-only support), stereo consistency, inverted-berhu proxy-depth
+    regression on SGBM-style hints, Laplacian smoothness, occlusion reg.
+    Exercises the virtual-stereo channel split + camera selection by
+    `T_stereo` sign (ref `src/core/trainer.py:336-347`), the hint validity
+    mask, and every `l2`/stereo side branch of `forward_loss`.
+    """
+    cfg = {
+        'net': {
+            'depth': {'enc_name': 'resnet18', 'pretrained': False,
+                      'dec_name': 'monodepth', 'out_scales': [0, 1],
+                      'use_virtual_stereo': True},
+        },
+        'loss': {
+            'img_recon': {'weight': 1, 'use_min': False, 'use_automask': False},
+            'stereo_const': {'weight': 1, 'loss_name': 'l1'},
+            'depth_regr': {'weight': 10, 'loss_name': 'berhu',
+                           'use_automask': False, 'invert': True},
+            'disp_smooth': {'weight': 0.001, 'use_edges': True,
+                            'use_laplacian': True},
+            'disp_occ': {'weight': 0.01},
+        },
+        'optimizer': {'type': 'adam', 'lr': 1e-4},
+        'loader': {'batch_size': B},
+        'trainer': {'min_depth': 0.1, 'max_depth': 100, 'matmul': 'highest'},
+    }
+    assert_trajectories_match(cfg, supp_idxs=(0,), hints=True)
+
+
+def test_trajectory_explainability_mask():
+    """SfM-Learner wiring (ref `cfg/benchmark/sfm_learner.yaml`):
+    explainability mask decoder (one channel per support frame), masked
+    photometric loss, BCE mask regularizer."""
+    cfg = {
+        'net': {
+            'depth': {'enc_name': 'resnet18', 'pretrained': False,
+                      'dec_name': 'monodepth', 'out_scales': [0, 1],
+                      'mask_name': 'explainability', 'num_ch_mask': 2},
+            'pose': {'enc_name': 'resnet18', 'pretrained': False},
+        },
+        'loss': {
+            'img_recon': {'weight': 1, 'use_min': False, 'use_automask': False,
+                          'mask_name': 'explainability'},
+            'disp_smooth': {'weight': 0.001, 'use_edges': True},
+            'disp_mask': {'weight': 0.2},
+        },
+        'optimizer': {'type': 'adam', 'lr': 1e-4},
+        'loader': {'batch_size': B},
+        'trainer': {'min_depth': 0.1, 'max_depth': 100, 'matmul': 'highest'},
+    }
+    assert_trajectories_match(cfg, supp_idxs=(-1, 1))
+
+
+def test_trajectory_uncertainty_mask():
+    """Klodt wiring (ref `cfg/benchmark/klodt.yaml`): uncertainty mask
+    decoder + the `err*exp(-m) + m` masked photometric loss
+    (ref `src/losses/reconstruction.py:46-57`)."""
+    cfg = {
+        'net': {
+            'depth': {'enc_name': 'resnet18', 'pretrained': False,
+                      'dec_name': 'monodepth', 'out_scales': [0, 1],
+                      'mask_name': 'uncertainty', 'num_ch_mask': 2},
+            'pose': {'enc_name': 'resnet18', 'pretrained': False},
+        },
+        'loss': {
+            'img_recon': {'weight': 1, 'use_min': False, 'use_automask': False,
+                          'mask_name': 'uncertainty'},
+            'disp_smooth': {'weight': 0.001, 'use_edges': True},
+        },
+        'optimizer': {'type': 'adam', 'lr': 1e-4},
+        'loader': {'batch_size': B},
+        'trainer': {'min_depth': 0.1, 'max_depth': 100, 'matmul': 'highest'},
+    }
+    assert_trajectories_match(cfg, supp_idxs=(-1, 1))
+
+
+def test_trajectory_hints_automask():
+    """Depth-Hints-MS wiring (ref `cfg/benchmark/depth_hints_MS.yaml`):
+    proxy-depth regression (log_l1) with `use_automask=True` — the
+    photometric-error-gated hint mask (`automask_hints`), alongside
+    min-reprojection+automask img_recon and a stereo support frame.
+
+    Tolerance note: the hint gate is a BINARY `photo(depth_warp) >
+    photo(hint_warp)` comparison with no tie-break; measured across
+    frameworks, 21/24576 mask bits flip, every one at |error margin|
+    <= 3.2e-5 (median margin 0.039, photometric errors agree to 7.7e-5) —
+    pure float tie-flips shifting the masked mean by ~1e-3. rtol=5e-3 covers
+    that while still catching real drift (the autoencoder BN-mode bug this
+    file caught was a 7e-2 shift)."""
+    cfg = {
+        'net': {
+            'depth': {'enc_name': 'resnet18', 'pretrained': False,
+                      'dec_name': 'monodepth', 'out_scales': [0, 1]},
+            'pose': {'enc_name': 'resnet18', 'pretrained': False},
+        },
+        'loss': {
+            'img_recon': {'weight': 1, 'use_min': True, 'use_automask': True},
+            'depth_regr': {'weight': 1, 'loss_name': 'log_l1',
+                           'use_automask': True},
+            'disp_smooth': {'weight': 0.001, 'use_edges': True},
+        },
+        'optimizer': {'type': 'adam', 'lr': 1e-4},
+        'loader': {'batch_size': B},
+        'trainer': {'min_depth': 0.1, 'max_depth': 100, 'matmul': 'highest'},
+    }
+    assert_trajectories_match(cfg, supp_idxs=(-1, 1, 0), hints=True, rtol=5e-3)
+
+
+def test_trajectory_feat_recon_depth_encoder():
+    """Depth-VO-Feat wiring (ref `cfg/benchmark/depth_vo_feat.yaml`):
+    feature reconstruction from the DEPTH encoder (no autoencoder net) —
+    pins `extract_features`' support-encoder pass running in train mode
+    (BatchNorm batch statistics, ref `trainer.py:475-484`)."""
+    cfg = {
+        'net': {
+            'depth': {'enc_name': 'resnet18', 'pretrained': False,
+                      'dec_name': 'monodepth', 'out_scales': [0, 1]},
+            'pose': {'enc_name': 'resnet18', 'pretrained': False},
+        },
+        'loss': {
+            'img_recon': {'weight': 1, 'use_min': False, 'use_automask': False},
+            'feat_recon': {'weight': 0.1, 'loss_name': 'l1', 'use_min': False,
+                           'use_automask': False},
+            'disp_smooth': {'weight': 0.001, 'use_edges': True},
+        },
+        'optimizer': {'type': 'adam', 'lr': 1e-4},
+        'loader': {'batch_size': B},
+        'trainer': {'min_depth': 0.1, 'max_depth': 100, 'matmul': 'highest'},
+    }
+    assert_trajectories_match(cfg, supp_idxs=(-1, 0))
+
+
+def test_trajectory_featdepth_autoencoder():
+    """FeatDepth wiring (ref `cfg/benchmark/feat_depth.yaml`): autoencoder
+    net, feature reconstruction (l2, min, automask), autoencoder image
+    reconstruction, feature peakiness + smoothness — with a stereo support
+    frame mixing `T_stereo` into the pose stack."""
+    cfg = {
+        'net': {
+            'depth': {'enc_name': 'resnet18', 'pretrained': False,
+                      'dec_name': 'monodepth', 'out_scales': [0, 1]},
+            'pose': {'enc_name': 'resnet18', 'pretrained': False},
+            'autoencoder': {'enc_name': 'resnet18', 'pretrained': False,
+                            'dec_name': 'monodepth', 'out_scales': [0, 1]},
+        },
+        'loss': {
+            'img_recon': {'weight': 1, 'use_min': True, 'use_automask': True},
+            'feat_recon': {'weight': 0.01, 'loss_name': 'l2', 'use_min': True,
+                           'use_automask': True},
+            'autoenc_recon': {'weight': 1, 'use_min': False,
+                              'use_automask': False},
+            'feat_peaky': {'weight': 0.0001, 'use_edges': True},
+            'feat_smooth': {'weight': 0.0001, 'use_edges': True},
+        },
+        'optimizer': {'type': 'adam', 'lr': 1e-4},
+        'loader': {'batch_size': B},
+        'trainer': {'min_depth': 0.1, 'max_depth': 100, 'always_fwd_pose': False,
+                    'matmul': 'highest'},
+    }
+    assert_trajectories_match(cfg, supp_idxs=(-1, 1, 0))

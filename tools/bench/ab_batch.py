@@ -1,0 +1,118 @@
+"""Same-process A/B of per-chip batch size on the real chip.
+
+Motivation: per-STEP costs (optimizer update over ~116M params, loss-chain
+glue, kernel launch tails) are batch-independent, so a bigger per-chip batch
+amortizes them. Batch 16 at 2x LR is the reference's own scaling rule — its
+LR auto-scales by devices x accumulation (ref `api/train/train.py:125-128`),
+so B=16/chip is SGD-equivalent to a 2-GPU-per-chip reference run.
+
+Cross-session bench comparisons carry ~15% tunnel variance; this driver
+times all variants interleaved in ONE process. Usage:
+    python tools/bench/ab_batch.py [--batches 8 16] [--iters 10] [--rounds 3]
+"""
+from __future__ import annotations
+
+import sys
+import time
+from argparse import ArgumentParser
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+
+import jax
+
+jax.config.update('jax_compilation_cache_dir',
+                  str(Path(__file__).resolve().parents[2] / '.jax_cache'))
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1)
+import jax.numpy as jnp
+
+H, W = 384, 640
+
+
+def build(batch: int, remat: bool = False):
+    from slowtv_monodepth_tpu import parsers
+    from slowtv_monodepth_tpu.core import MonoDepthTrainer
+    from slowtv_monodepth_tpu.parallel import make_train_step
+
+    cfg = {
+        'net': {
+            'depth': {'enc_name': 'convnext_base', 'pretrained': False,
+                      'dec_name': 'monodepth', 'out_scales': (0, 1, 2, 3),
+                      'gelu': 'tanh', 'dec_pad_mode': 'zeros'},
+            'pose': {'enc_name': 'convnext_tiny', 'pretrained': False,
+                     'learn_K': True, 'gelu': 'tanh'},
+        },
+        'loss': {
+            'img_recon': {'weight': 1, 'use_min': True, 'use_automask': True},
+            'disp_smooth': {'weight': 0.001, 'use_edges': True},
+        },
+        'optimizer': {'type': 'adamw', 'lr': 1e-4, 'weight_decay': 1e-3},
+        'scheduler': {'steplr': {'step_size': 40, 'gamma': 0.1},
+                      'linear': {'start_factor': 0.1, 'total_iters': 4}},
+        'trainer': {'min_depth': 0.1, 'max_depth': 100,
+                    'always_fwd_pose': False, 'precision': 'bf16',
+                    **({'remat': True} if remat else {})},
+    }
+    supp_idxs = (-1, 1)
+    key = jax.random.PRNGKey(0)
+    imgs = jax.random.uniform(key, (batch, H, W, 3))
+    supp = jnp.stack([jnp.roll(imgs, 2, axis=2), jnp.roll(imgs, -2, axis=2)])
+    K = jnp.broadcast_to(jnp.array(
+        [[0.58 * W, 0, 0.5 * W, 0], [0, 1.92 * H, 0.5 * H, 0],
+         [0, 0, 1, 0], [0, 0, 0, 1.0]]), (batch, 4, 4))
+    x = {'imgs': imgs, 'supp_imgs': supp}
+    y = {'imgs': imgs, 'supp_imgs': supp, 'K': K}
+    trainer = MonoDepthTrainer(cfg)
+    tx = parsers.make_optimizer(cfg, steps_per_epoch=1000)
+    state = trainer.init_state(jax.random.PRNGKey(1), x, supp_idxs, tx)
+    step = make_train_step(trainer, supp_idxs, tx, donate=False)
+    compiled = step.lower(state, x, y, jax.random.PRNGKey(0)).compile()
+    return compiled, state, x, y
+
+
+def timed(compiled, state, x, y, iters: int) -> float:
+    """Pipelined honest host-fetch timing (bench.py pattern)."""
+    rngs = [jax.random.PRNGKey(100 + i) for i in range(3 + iters)]
+    for i in range(3):
+        state, sc = compiled(state, x, y, rngs[i])
+    float(sc['loss'])
+    t0 = time.perf_counter()
+    prev = None
+    for i in range(iters):
+        state, sc = compiled(state, x, y, rngs[3 + i])
+        if prev is not None:
+            float(prev)
+        prev = sc['loss']
+    float(prev)
+    return (time.perf_counter() - t0) / iters * 1000
+
+
+def main():
+    ap = ArgumentParser()
+    ap.add_argument('--batches', type=int, nargs='+', default=[8, 16])
+    ap.add_argument('--remat', action='store_true',
+                    help='enable remat on every variant')
+    ap.add_argument('--iters', type=int, default=10)
+    ap.add_argument('--rounds', type=int, default=3)
+    args = ap.parse_args()
+
+    variants = {}
+    for b in args.batches:
+        try:
+            variants[b] = build(b, remat=args.remat)
+        except Exception as e:  # noqa: BLE001 — report OOM/compile failures per-variant
+            print(f'B={b}: build failed: {type(e).__name__}: {str(e)[:300]}')
+    best = {b: float('inf') for b in variants}
+    for r in range(args.rounds):
+        for b, v in variants.items():
+            ms = timed(*v, args.iters)
+            best[b] = min(best[b], ms)
+            print(f'round {r}: B={b} {ms:.1f} ms/step '
+                  f'({b / ms * 1000:.1f} imgs/s)')
+    for b, ms in best.items():
+        print(f'best-of-{args.rounds}: B={b} {ms:.1f} ms/step '
+              f'({b / ms * 1000:.1f} imgs/s)')
+
+
+if __name__ == '__main__':
+    main()
