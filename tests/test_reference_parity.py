@@ -210,3 +210,57 @@ class TestAspectRatioParity:
                 ours = sample_resize(shape, ref_shape, eps=0.8)
                 theirs = tuple(ref_ar.sample_resize(shape, ref_shape, eps=0.8))
                 assert ours == theirs, (shape, ref_shape, ours, theirs)
+
+
+class TestSchedulerParity:
+    """Per-epoch LR trajectories vs the reference's torch schedulers.
+
+    The reference chains torch StepLR/LinearLR via ChainedScheduler stepped
+    once per epoch by Lightning (ref `src/core/trainer.py:85-94`,
+    `src/registry.py:21-28`); ours composes per-epoch multiplicative factors
+    into one optax step-schedule (`parsers.get_sched`). VERDICT round 1
+    flagged schedule-stepping semantics as a cross-component drift risk.
+    """
+
+    LR = 1e-4
+
+    def _ref_lrs(self, scheds, n_epochs):
+        import torch.nn as nn
+        from torch.optim.lr_scheduler import ChainedScheduler
+
+        p = nn.Parameter(torch.zeros(1))
+        opt = torch.optim.AdamW([p], lr=self.LR)
+        sch = ChainedScheduler([cls(opt, **kw) for cls, kw in scheds])
+        lrs = []
+        for _ in range(n_epochs):
+            lrs.append(opt.param_groups[0]['lr'])
+            opt.step()
+            sch.step()
+        return lrs
+
+    def _our_lrs(self, cfg, n_epochs, steps_per_epoch=10):
+        from slowtv_monodepth_tpu import parsers
+        sched = parsers.get_sched(cfg, lr=self.LR, steps_per_epoch=steps_per_epoch)
+        # Sample at the FIRST step of each epoch (torch updates lr at epoch
+        # boundaries) and mid-epoch (must hold constant within an epoch).
+        lrs = [float(sched(e * steps_per_epoch)) for e in range(n_epochs)]
+        mid = [float(sched(e * steps_per_epoch + steps_per_epoch // 2))
+               for e in range(n_epochs)]
+        np.testing.assert_allclose(mid, lrs, rtol=1e-6)
+        return lrs
+
+    def test_kbr_chained_step_linear(self):
+        """KBR recipe: StepLR(40, 0.1) + LinearLR warmup(0.1, 4) over 60 ep."""
+        from torch.optim.lr_scheduler import LinearLR, StepLR
+        ref = self._ref_lrs([(StepLR, dict(step_size=40, gamma=0.1)),
+                             (LinearLR, dict(start_factor=0.1, total_iters=4))], 60)
+        ours = self._our_lrs({'steplr': {'step_size': 40, 'gamma': 0.1},
+                              'linear': {'start_factor': 0.1, 'total_iters': 4}}, 60)
+        np.testing.assert_allclose(ours, ref, rtol=1e-6)
+
+    def test_steplr_alone(self):
+        """Benchmark recipe: StepLR(15, 0.1) over 30 epochs."""
+        from torch.optim.lr_scheduler import StepLR
+        ref = self._ref_lrs([(StepLR, dict(step_size=15, gamma=0.1))], 30)
+        ours = self._our_lrs({'steplr': {'step_size': 15, 'gamma': 0.1}}, 30)
+        np.testing.assert_allclose(ours, ref, rtol=1e-6)
