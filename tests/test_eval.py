@@ -163,3 +163,66 @@ class TestViz:
         rgb = rgb_from_feat(np.random.rand(2, 8, 6, 16).astype(np.float32))
         assert rgb.shape == (2, 8, 6, 3)
         assert rgb.min() >= 0 and rgb.max() <= 1
+
+
+class TestEvaluatorDifferential:
+    """Full `MonoDepthEvaluator.run` vs the ACTUAL reference evaluator class
+    on identical synthetic data: upsample -> to_inv -> mask -> align -> all
+    four metric collections -> edges pass -> category averaging, composed.
+
+    Crops are left off: the reference's eigen/nyud crop routing is swapped
+    (documented deliberate fix in `eval/evaluator.py` docstring), so those
+    two flags are exactly where the frameworks must NOT agree.
+    """
+
+    @staticmethod
+    def _make_data(n=6, hw=(96, 128), phw=(48, 64), seed=3):
+        rng = np.random.default_rng(seed)
+        h, w = hw
+        depth = 1.0 + 60.0 * rng.random((n, h, w), dtype=np.float32)
+        depth[rng.random(depth.shape) < 0.1] = 0.0  # invalid GT pixels
+        # Scaleless disparity preds, correlated with GT so alignment is sane.
+        small = depth[:, ::2, ::2]
+        pred = 1.0 / np.maximum(small, 0.5)
+        pred *= 7.0
+        pred += 0.01 * rng.random(pred.shape, dtype=np.float32)
+        pred = pred[:, :phw[0], :phw[1]].astype(np.float32)
+        K = np.broadcast_to(np.array(
+            [[0.58 * w, 0, 0.5 * w, 0], [0, 1.92 * h, 0.5 * h, 0],
+             [0, 0, 1, 0], [0, 0, 0, 1]], np.float32), (n, 4, 4)).copy()
+        edge = rng.random((n, h, w)) < 0.03
+        cat = np.array(['urban', 'natural', 'urban', 'indoor', 'natural',
+                        'urban'][:n])
+        subcat = np.array(['a', 'b', 'a', 'c', 'a', 'b'][:n])
+        return pred, {'depth': depth, 'K': K, 'edge': edge, 'cat': cat,
+                      'subcat': subcat}
+
+    @pytest.mark.parametrize('align', ['median', 'lsqr', 5.4])
+    def test_run_matches_reference(self, align):
+        import sys
+        from pathlib import Path
+        sys.path.insert(0, str(Path(__file__).parent))
+        from ref_compat import import_reference
+        if import_reference() is None:
+            pytest.skip('reference not importable')
+        from src.core.evaluator import MonoDepthEvaluator as RefEvaluator
+
+        preds, data = self._make_data()
+        # No 'ibims': the reference's Canny is skimage's, which this env
+        # lacks (ref_compat stubs it) — our skimage-free Canny is pinned
+        # separately in test_geometry. The `edge` masks still drive the
+        # '-Edges' second pass over the other three collections.
+        kw = dict(metrics=('eigen', 'benchmark', 'pointcloud'),
+                  align_mode=align, min=1e-3, max=80)
+
+        ref_mean, ref_items = RefEvaluator(**kw).run(
+            preds.copy(), {k: v.copy() for k, v in data.items()})
+        our_mean, our_items = MonoDepthEvaluator(**kw).run(
+            preds.copy(), {k: v.copy() for k, v in data.items()}, nproc=0)
+
+        assert len(ref_items) == len(our_items)
+        assert set(ref_mean) == set(our_mean)
+        for k in ref_mean:
+            np.testing.assert_allclose(
+                our_mean[k], ref_mean[k], rtol=1e-4, atol=1e-6,
+                err_msg=f'metric {k} (align={align})')
