@@ -1,0 +1,143 @@
+"""End-to-end drive of the eval API scripts, as a user runs them.
+
+Chain (ref `api/eval/README` flow): fabricate a finished training run ->
+`api/data/export_gt/from_dataset.py` (GT targets npz) ->
+`api/eval/export_preds.py` (predictions npz, finished-marker guard) ->
+`api/eval/eval_depth.py` (MonoDepthEvaluator -> mean-metrics YAML) ->
+`api/eval/generate_tables.py` (per-seed aggregation -> markdown table).
+Every script runs through its own `__main__` (runpy + argv), not internals.
+"""
+import runpy
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+import yaml
+from PIL import Image
+
+import jax
+import jax.numpy as jnp
+
+from slowtv_monodepth_tpu import parsers, paths
+from slowtv_monodepth_tpu.core import MonoDepthTrainer
+from slowtv_monodepth_tpu.core.checkpoint import save_checkpoint
+
+REPO = Path(__file__).resolve().parents[1]
+API = REPO / 'api'
+
+
+def _write_img(path, shape=(48, 64), seed=0):
+    path.parent.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    Image.fromarray(rng.integers(0, 255, shape + (3,), dtype=np.uint8)).save(path)
+
+
+@pytest.fixture
+def syns_root(tmp_path):
+    root = tmp_path / 'syns_patches'
+    scene = '01'
+    for i, stem in enumerate(('00.png', '01.png')):
+        _write_img(root / scene / 'images' / stem, seed=1 + i)
+        (root / scene / 'depths').mkdir(parents=True, exist_ok=True)
+        np.save(root / scene / 'depths' / stem.replace('.png', '.npy'),
+                1 + 20 * np.random.default_rng(i).random((48, 64)).astype(np.float32))
+        edges = np.zeros((48, 64), np.uint8)
+        edges[20] = 255
+        (root / scene / 'edges').mkdir(parents=True, exist_ok=True)
+        Image.fromarray(edges).save(root / scene / 'edges' / stem)
+    (root / scene / 'info.txt').write_text('Scene 01\nScene Category: Outdoor: Park\n')
+    (root / 'splits').mkdir(parents=True)
+    (root / 'splits' / 'test_files.txt').write_text(f'{scene} 00.png\n{scene} 01.png\n')
+    paths.DATA_PATHS['syns_patches'] = root
+    yield root
+    paths.DATA_PATHS.pop('syns_patches', None)
+
+
+def _run_script(script: Path, argv: list) -> None:
+    old_argv = sys.argv
+    sys.argv = [str(script)] + [str(a) for a in argv]
+    # `python path/to/script.py` puts the script dir on sys.path[0];
+    # runpy.run_path does not — mirror the CLI (eval_depth imports its
+    # sibling export_preds).
+    sys.path.insert(0, str(script.parent))
+    try:
+        runpy.run_path(str(script), run_name='__main__')
+    finally:
+        sys.argv = old_argv
+        sys.path.remove(str(script.parent))
+
+
+def _make_finished_run(tmp_path) -> Path:
+    """Fabricate a trained run dir: checkpoint w/ embedded cfg + marker."""
+    cfg = {
+        'net': {
+            'depth': {'enc_name': 'resnet18', 'pretrained': False,
+                      'dec_name': 'monodepth', 'out_scales': [0, 1]},
+            'pose': {'enc_name': 'resnet18', 'pretrained': False},
+        },
+        'loss': {'img_recon': {'weight': 1, 'use_min': True, 'use_automask': True},
+                 'disp_smooth': {'weight': 0.001, 'use_edges': True}},
+        'optimizer': {'type': 'adamw', 'lr': 1e-4},
+        'trainer': {'min_depth': 0.1, 'max_depth': 100},
+    }
+    trainer = MonoDepthTrainer(cfg)
+    tx = parsers.make_optimizer(cfg)
+    imgs = jnp.zeros((1, 64, 96, 3), jnp.float32)
+    x = {'imgs': imgs, 'supp_imgs': jnp.stack([imgs, imgs])}
+    state = trainer.init_state(jax.random.PRNGKey(0), x, (-1, 1), tx)
+
+    run_dir = tmp_path / 'models' / 'kbr' / 'tiny' / '42'
+    run_dir.mkdir(parents=True)
+    save_checkpoint(run_dir / 'last', state, cfg)
+    return run_dir
+
+
+def test_eval_api_chain(syns_root, tmp_path, capsys):
+    run_dir = _make_finished_run(tmp_path)
+    eval_cfg = REPO / 'cfg' / 'eval' / 'syns_test.yaml'
+
+    # GT export: targets npz lands next to the split file.
+    _run_script(API / 'data' / 'export_gt' / 'from_dataset.py',
+                ['--type', 'syns_patches', '--mode', 'test',
+                 '--datum', 'image depth edge K'])
+    target_file = syns_root / 'splits' / 'targets_test.npz'
+    assert target_file.is_file()
+    data = dict(np.load(target_file, allow_pickle=True))
+    assert set(data) >= {'depth', 'K', 'edge', 'cat', 'subcat'}
+    assert data['cat'].tolist() == ['Outdoor', 'Outdoor']
+
+    # Unfinished run refused (the `finished` marker guard).
+    pred_file = tmp_path / 'preds.npz'
+    with pytest.raises(SystemExit):
+        _run_script(API / 'eval' / 'export_preds.py',
+                    ['--cfg-file', eval_cfg, '--ckpt', run_dir / 'last',
+                     '--save-file', pred_file])
+
+    (run_dir / 'finished').touch()
+    _run_script(API / 'eval' / 'export_preds.py',
+                ['--cfg-file', eval_cfg, '--ckpt', run_dir / 'last',
+                 '--save-file', pred_file])
+    preds = np.load(pred_file)['pred']
+    assert preds.shape == (2, 192, 640)  # syns predictor shape
+    assert np.isfinite(preds).all() and (preds > 0).any()
+
+    # Evaluate -> per-seed results YAML in the reference layout.
+    save_file = run_dir / 'results' / 'syns_test_last_lsqr.yaml'
+    _run_script(API / 'eval' / 'eval_depth.py',
+                ['--cfg-file', eval_cfg, '--pred-file', pred_file,
+                 '--save-file', save_file, '--align-mode', 'lsqr',
+                 '--nproc', 2])
+    metrics = yaml.safe_load(save_file.read_text())
+    assert np.isfinite(metrics['AbsRel'])
+    assert 'F-Score (10)' in metrics
+    assert any(k.endswith('-Edges') for k in metrics)  # edge second pass
+
+    # Aggregate seeds -> table.
+    capsys.readouterr()
+    _run_script(API / 'eval' / 'generate_tables.py',
+                ['--root', tmp_path / 'models', '--exp', 'kbr',
+                 '--dataset', 'syns_test', '--ckpt', 'last',
+                 '--mode', 'lsqr', '--fmt', 'markdown'])
+    out = capsys.readouterr().out
+    assert 'tiny' in out and 'Rel' in out
