@@ -141,3 +141,65 @@ def test_eval_api_chain(syns_root, tmp_path, capsys):
                  '--mode', 'lsqr', '--fmt', 'markdown'])
     out = capsys.readouterr().out
     assert 'tiny' in out and 'Rel' in out
+
+
+def test_quickstart_run_script(tmp_path):
+    """Drive `api/quickstart/run.py` exactly as the README shows: ckpt +
+    image dir -> colormapped png + raw npy disparity per image."""
+    run_dir = _make_finished_run(tmp_path)
+    img_dir = tmp_path / 'imgs'
+    for i in range(2):
+        _write_img(img_dir / f'{i}.png', shape=(70, 110), seed=10 + i)
+    out_dir = tmp_path / 'out'
+
+    _run_script(API / 'quickstart' / 'run.py',
+                ['--ckpt-file', run_dir / 'last', '--img-dir', img_dir,
+                 '--out-dir', out_dir, '--width', 96, '--height', 64])
+
+    for i in range(2):
+        png, npy = out_dir / f'{i}.png', out_dir / f'{i}.npy'
+        assert png.is_file() and npy.is_file()
+        disp = np.load(npy)
+        # Predictions are resized back to the ORIGINAL image resolution.
+        assert disp.shape[:2] == (70, 110)
+        assert np.isfinite(disp).all()
+
+
+def test_mapfree_generate_preds_script(tmp_path):
+    """Drive `api/mapfree/generate_preds.py`: predict, lsqr-align to the DPT
+    baseline depth, and write challenge-format uint16 mm PNGs in place."""
+    import cv2
+
+    root = tmp_path / 'mapfree'
+    scene_dir = root / 'val' / 's00000' / 'seq0'
+    scene_dir.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    lines = []
+    for i in range(2):
+        stem = f'frame_{i:05}'
+        Image.fromarray(rng.integers(0, 255, (72, 96, 3), dtype=np.uint8)).save(
+            scene_dir / f'{stem}.jpg')
+        depth_mm = (1000 * (1 + 9 * rng.random((72, 96)))).astype(np.uint16)
+        cv2.imwrite(str(scene_dir / f'{stem}.dptkitti.png'), depth_mm)
+        lines.append(f's00000 seq0 {stem}\n')
+    (root / 'splits').mkdir(parents=True)
+    (root / 'splits' / 'val_files.txt').write_text(''.join(lines))
+    (root / 'val' / 's00000' / 'intrinsics.txt').write_text(''.join(
+        f'seq0/frame_{i:05}.jpg 60.0 60.0 48.0 36.0 96 72\n' for i in range(2)))
+    paths.DATA_PATHS['mapfree'] = root
+    try:
+        run_dir = _make_finished_run(tmp_path)
+        (run_dir / 'finished').touch()
+        _run_script(API / 'mapfree' / 'generate_preds.py',
+                    ['--ckpt', run_dir / 'last', '--name', 'ours',
+                     '--mode', 'val'])
+        for i in range(2):
+            f = scene_dir / f'frame_{i:05}.ours.png'
+            assert f.is_file()
+            depth = np.array(Image.open(f), dtype=np.float32) / 1000
+            # Challenge format: the dataset serves GT at its canonical
+            # portrait shape, and preds are upsampled to match.
+            assert depth.shape == (720, 540)
+            assert np.isfinite(depth).all() and (depth > 0).any()
+    finally:
+        paths.DATA_PATHS.pop('mapfree', None)
