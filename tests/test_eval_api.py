@@ -203,3 +203,71 @@ def test_mapfree_generate_preds_script(tmp_path):
             assert np.isfinite(depth).all() and (depth > 0).any()
     finally:
         paths.DATA_PATHS.pop('mapfree', None)
+
+
+@pytest.fixture
+def slowtv_root(tmp_path):
+    root = tmp_path / 'slow_tv'
+    seq = '00001'
+    for stem in range(8):
+        _write_img(root / seq / f'{stem:010}.png', seed=stem)
+    np.savetxt(root / seq / 'intrinsics.txt',
+               np.array([[600, 0, 640, 0], [0, 600, 360, 0],
+                         [0, 0, 1, 0], [0, 0, 0, 1.0]]))
+    (root / 'splits' / 'all').mkdir(parents=True)
+    (root / 'splits' / 'all' / 'train_files.txt').write_text(
+        '\n'.join(f'{seq} {i}' for i in range(1, 5)))
+    (root / 'splits' / 'all' / 'val_files.txt').write_text(
+        '\n'.join(f'{seq} {i}' for i in range(5, 7)))
+    (root / 'splits' / 'categories.txt').write_text('natural-hiking\n')
+    paths.DATA_PATHS['slow_tv'] = root
+    yield root
+    paths.DATA_PATHS.pop('slow_tv', None)
+
+
+def test_train_script_end_to_end(slowtv_root, tmp_path):
+    """Drive `api/train/train.py` exactly as a user would: merged cfg yamls ->
+    fit 1 epoch -> versioned run dir with ckpts, tensorboard events, and the
+    `finished` marker the eval scripts gate on."""
+    cfg = {
+        'net': {
+            'depth': {'enc_name': 'resnet18', 'pretrained': False,
+                      'dec_name': 'monodepth', 'out_scales': [0, 1]},
+            'pose': {'enc_name': 'resnet18', 'pretrained': False},
+        },
+        'loss': {'img_recon': {'weight': 1, 'use_min': True, 'use_automask': True},
+                 'disp_smooth': {'weight': 0.001, 'use_edges': True}},
+        'dataset': {'slow_tv': {
+            'split': 'all', 'datum': 'image support K', 'supp_idxs': [-1, 1],
+            'train': {'mode': 'train', 'use_aug': True, 'shape': [32, 64]},
+            'val': {'mode': 'val', 'use_aug': False, 'shape': [32, 64]},
+        }},
+        'loader': {'batch_size': 2, 'drop_last': True, 'num_workers': 0,
+                   'train': {'shuffle': True}, 'val': {'shuffle': False}},
+        'optimizer': {'type': 'adamw', 'lr': 1e-4, 'weight_decay': 1e-3},
+        'trainer': {'max_epochs': 1, 'min_depth': 0.1, 'max_depth': 100,
+                    'monitor': 'loss', 'log_every_n_steps': 1,
+                    'logger': 'tensorboard'},
+    }
+    # Split across two files to exercise the merge chain.
+    cfg_a = tmp_path / 'default.yaml'
+    cfg_b = tmp_path / 'exp.yaml'
+    trainer_over = {'trainer': cfg.pop('trainer')}
+    cfg_a.write_text(yaml.safe_dump(cfg))
+    cfg_b.write_text(yaml.safe_dump(trainer_over))
+
+    out_root = tmp_path / 'out'
+    _run_script(API / 'train' / 'train.py',
+                ['-c', cfg_a, cfg_b, '-o', out_root, '-n', 'tiny', '-s', 17,
+                 '-g', 1])
+
+    run_dir = out_root / 'tiny' / '000'
+    models = run_dir / 'models'
+    assert (models / 'last').is_dir() and (models / 'best').is_dir()
+    assert (models / 'finished').is_file()
+    assert list(run_dir.glob('logs/**/events.out.tfevents.*'))
+    # The run is immediately consumable by the eval chain's marker guard.
+    from slowtv_monodepth_tpu.core.checkpoint import load_checkpoint
+    state, meta = load_checkpoint(models / 'last')
+    assert meta['cfg']['net']['depth']['enc_name'] == 'resnet18'
+    assert int(state.step) > 0
