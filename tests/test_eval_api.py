@@ -271,3 +271,31 @@ def test_train_script_end_to_end(slowtv_root, tmp_path):
     state, meta = load_checkpoint(models / 'last')
     assert meta['cfg']['net']['depth']['enc_name'] == 'resnet18'
     assert int(state.step) > 0
+
+
+def test_train_dev_script(slowtv_root, tmp_path):
+    """Drive `api/train/train_dev.py` (debug harness): tight epoch/batch
+    limits into /tmp, per-step finite-loss checks."""
+    cfg = {
+        'net': {
+            'depth': {'enc_name': 'resnet18', 'pretrained': False,
+                      'dec_name': 'monodepth', 'out_scales': [0, 1]},
+            'pose': {'enc_name': 'resnet18', 'pretrained': False},
+        },
+        'loss': {'img_recon': {'weight': 1, 'use_min': True, 'use_automask': True},
+                 'disp_smooth': {'weight': 0.001, 'use_edges': True}},
+        'dataset': {'slow_tv': {
+            'split': 'all', 'datum': 'image support K', 'supp_idxs': [-1, 1],
+            'train': {'mode': 'train', 'use_aug': True, 'shape': [32, 64]},
+            'val': {'mode': 'val', 'use_aug': False, 'shape': [32, 64]},
+        }},
+        'loader': {'batch_size': 2, 'drop_last': True, 'num_workers': 0,
+                   'train': {'shuffle': True}, 'val': {'shuffle': False}},
+        'optimizer': {'type': 'adamw', 'lr': 1e-4},
+        'trainer': {'min_depth': 0.1, 'max_depth': 100, 'monitor': 'loss',
+                    'log_every_n_steps': 1},
+    }
+    cfg_file = tmp_path / 'dev.yaml'
+    cfg_file.write_text(yaml.safe_dump(cfg))
+    _run_script(API / 'train' / 'train_dev.py',
+                ['-c', cfg_file, '--epochs', 1, '--batches', 2, '-s', 7])
