@@ -102,8 +102,9 @@ class MonoDepthTrainer:
             return to_scaled(disp, self.min_depth, self.max_depth)[1]
         return to_inv(disp)
 
-    def _apply(self, key: str, params, aux, x, train: bool):
-        """Apply one net; returns (out, new_aux) threading batch_stats.
+    def _apply(self, key: str, params, aux, x, train: bool, method=None):
+        """Apply one net (optionally a bound `method`); returns (out, new_aux)
+        threading batch_stats.
 
         Under bf16 precision, params and inputs cast to bfloat16 for the
         network pass and every floating output casts back to f32 (losses and
@@ -117,13 +118,14 @@ class MonoDepthTrainer:
         variables = {'params': p, **aux.get(key, {})}
         net = self.nets[key]
         if train and 'batch_stats' in aux.get(key, {}):
-            fn = lambda v, xx: net.apply(v, xx, train=True, mutable=['batch_stats'])  # noqa: E731
+            fn = lambda v, xx: net.apply(v, xx, train=True, mutable=['batch_stats'],  # noqa: E731
+                                         method=method)
             if self.remat:
                 fn = jax.checkpoint(fn)
             out, updated = fn(variables, x)
             new_aux = dict(updated)
         else:
-            fn = lambda v, xx: net.apply(v, xx, train=train)  # noqa: E731
+            fn = lambda v, xx: net.apply(v, xx, train=train, method=method)  # noqa: E731
             if self.remat and train:
                 fn = jax.checkpoint(fn)
             out, new_aux = fn(variables, x), aux.get(key, {})
@@ -340,14 +342,11 @@ class MonoDepthTrainer:
         feat = fwd['depth_feats']
         n, b = x['supp_imgs'].shape[:2]
         supp_flat = x['supp_imgs'].reshape((n * b,) + x['supp_imgs'].shape[2:])
-        variables = {'params': params['depth'], **aux.get('depth', {})}
-        mutable = ['batch_stats'] if train and 'batch_stats' in aux.get('depth', {}) else False
-        supp_feat = self.nets['depth'].apply(
-            variables, supp_flat, train=train,
-            method=lambda m, xx, train: m.encoder(xx, train=train),
-            mutable=mutable)
-        if mutable:
-            supp_feat, _ = supp_feat
+        # Through _apply so the pass shares the step's precision (bf16 cast)
+        # and batch-stat threading with the target encoder pass.
+        supp_feat, _ = self._apply(
+            'depth', params, aux, supp_flat, train,
+            method=lambda m, xx, train: m.encoder(xx, train=train))
         supp_feat = [f.reshape((n, b) + f.shape[1:]) for f in supp_feat]
         return feat, supp_feat
 

@@ -68,8 +68,8 @@ def _run_script(script: Path, argv: list) -> None:
         sys.path.remove(str(script.parent))
 
 
-def _make_finished_run(tmp_path) -> Path:
-    """Fabricate a trained run dir: checkpoint w/ embedded cfg + marker."""
+def _base_cfg(**sections) -> dict:
+    """Tiny resnet18 KBR-style recipe shared by every drive in this file."""
     cfg = {
         'net': {
             'depth': {'enc_name': 'resnet18', 'pretrained': False,
@@ -81,6 +81,26 @@ def _make_finished_run(tmp_path) -> Path:
         'optimizer': {'type': 'adamw', 'lr': 1e-4},
         'trainer': {'min_depth': 0.1, 'max_depth': 100},
     }
+    cfg.update(sections)
+    return cfg
+
+
+def _slowtv_train_sections() -> dict:
+    """dataset/loader sections for the synthetic slow_tv fixture."""
+    return {
+        'dataset': {'slow_tv': {
+            'split': 'all', 'datum': 'image support K', 'supp_idxs': [-1, 1],
+            'train': {'mode': 'train', 'use_aug': True, 'shape': [32, 64]},
+            'val': {'mode': 'val', 'use_aug': False, 'shape': [32, 64]},
+        }},
+        'loader': {'batch_size': 2, 'drop_last': True, 'num_workers': 0,
+                   'train': {'shuffle': True}, 'val': {'shuffle': False}},
+    }
+
+
+def _make_finished_run(tmp_path) -> Path:
+    """Fabricate a trained run dir: checkpoint w/ embedded cfg + marker."""
+    cfg = _base_cfg()
     trainer = MonoDepthTrainer(cfg)
     tx = parsers.make_optimizer(cfg)
     imgs = jnp.zeros((1, 64, 96, 3), jnp.float32)
@@ -229,26 +249,13 @@ def test_train_script_end_to_end(slowtv_root, tmp_path):
     """Drive `api/train/train.py` exactly as a user would: merged cfg yamls ->
     fit 1 epoch -> versioned run dir with ckpts, tensorboard events, and the
     `finished` marker the eval scripts gate on."""
-    cfg = {
-        'net': {
-            'depth': {'enc_name': 'resnet18', 'pretrained': False,
-                      'dec_name': 'monodepth', 'out_scales': [0, 1]},
-            'pose': {'enc_name': 'resnet18', 'pretrained': False},
-        },
-        'loss': {'img_recon': {'weight': 1, 'use_min': True, 'use_automask': True},
-                 'disp_smooth': {'weight': 0.001, 'use_edges': True}},
-        'dataset': {'slow_tv': {
-            'split': 'all', 'datum': 'image support K', 'supp_idxs': [-1, 1],
-            'train': {'mode': 'train', 'use_aug': True, 'shape': [32, 64]},
-            'val': {'mode': 'val', 'use_aug': False, 'shape': [32, 64]},
-        }},
-        'loader': {'batch_size': 2, 'drop_last': True, 'num_workers': 0,
-                   'train': {'shuffle': True}, 'val': {'shuffle': False}},
-        'optimizer': {'type': 'adamw', 'lr': 1e-4, 'weight_decay': 1e-3},
-        'trainer': {'max_epochs': 1, 'min_depth': 0.1, 'max_depth': 100,
-                    'monitor': 'loss', 'log_every_n_steps': 1,
-                    'logger': 'tensorboard'},
-    }
+    cfg = _base_cfg(
+        **_slowtv_train_sections(),
+        optimizer={'type': 'adamw', 'lr': 1e-4, 'weight_decay': 1e-3},
+        trainer={'max_epochs': 1, 'min_depth': 0.1, 'max_depth': 100,
+                 'monitor': 'loss', 'log_every_n_steps': 1,
+                 'logger': 'tensorboard'},
+    )
     # Split across two files to exercise the merge chain.
     cfg_a = tmp_path / 'default.yaml'
     cfg_b = tmp_path / 'exp.yaml'
@@ -276,25 +283,11 @@ def test_train_script_end_to_end(slowtv_root, tmp_path):
 def test_train_dev_script(slowtv_root, tmp_path):
     """Drive `api/train/train_dev.py` (debug harness): tight epoch/batch
     limits into /tmp, per-step finite-loss checks."""
-    cfg = {
-        'net': {
-            'depth': {'enc_name': 'resnet18', 'pretrained': False,
-                      'dec_name': 'monodepth', 'out_scales': [0, 1]},
-            'pose': {'enc_name': 'resnet18', 'pretrained': False},
-        },
-        'loss': {'img_recon': {'weight': 1, 'use_min': True, 'use_automask': True},
-                 'disp_smooth': {'weight': 0.001, 'use_edges': True}},
-        'dataset': {'slow_tv': {
-            'split': 'all', 'datum': 'image support K', 'supp_idxs': [-1, 1],
-            'train': {'mode': 'train', 'use_aug': True, 'shape': [32, 64]},
-            'val': {'mode': 'val', 'use_aug': False, 'shape': [32, 64]},
-        }},
-        'loader': {'batch_size': 2, 'drop_last': True, 'num_workers': 0,
-                   'train': {'shuffle': True}, 'val': {'shuffle': False}},
-        'optimizer': {'type': 'adamw', 'lr': 1e-4},
-        'trainer': {'min_depth': 0.1, 'max_depth': 100, 'monitor': 'loss',
-                    'log_every_n_steps': 1},
-    }
+    cfg = _base_cfg(
+        **_slowtv_train_sections(),
+        trainer={'min_depth': 0.1, 'max_depth': 100, 'monitor': 'loss',
+                 'log_every_n_steps': 1},
+    )
     cfg_file = tmp_path / 'dev.yaml'
     cfg_file.write_text(yaml.safe_dump(cfg))
     _run_script(API / 'train' / 'train_dev.py',

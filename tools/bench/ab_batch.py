@@ -102,10 +102,20 @@ def main():
             variants[b] = build(b, remat=args.remat)
         except Exception as e:  # noqa: BLE001 — report OOM/compile failures per-variant
             print(f'B={b}: build failed: {type(e).__name__}: {str(e)[:300]}')
+    # NOTE: all variants' params/opt-states are co-resident on the chip, so a
+    # large batch can OOM here while fitting standalone — confirm a suspected
+    # OOM with a solo `--batches N` run before concluding it doesn't fit.
     best = {b: float('inf') for b in variants}
     for r in range(args.rounds):
-        for b, v in variants.items():
-            ms = timed(*v, args.iters)
+        for b, v in list(variants.items()):
+            try:
+                ms = timed(*v, args.iters)
+            except Exception as e:  # noqa: BLE001 — drop the variant, keep the A/B alive
+                print(f'round {r}: B={b} runtime failure, dropping: '
+                      f'{type(e).__name__}: {str(e)[:300]}')
+                variants.pop(b)
+                best.pop(b)
+                continue
             best[b] = min(best[b], ms)
             print(f'round {r}: B={b} {ms:.1f} ms/step '
                   f'({b / ms * 1000:.1f} imgs/s)')
