@@ -313,6 +313,37 @@ class TestPrecision:
         assert np.isfinite(losses['bf16'])
         assert abs(losses['bf16'] - losses[32]) / abs(losses[32]) < 0.05
 
+    def test_bf16_feat_recon_depth_encoder(self):
+        """feat_recon WITHOUT an autoencoder under bf16: the support-encoder
+        pass (`extract_features` -> `_apply(method=encoder)`) must share the
+        step's precision — support features come back f32-typed (cast back
+        from the bf16 pass) and the loss stays finite and close to f32."""
+        batch = make_batch(jax.random.PRNGKey(4))
+        losses = {}
+        for prec in (32, 'bf16'):
+            cfg = make_cfg(
+                loss={'img_recon': {'weight': 1, 'use_min': False,
+                                    'use_automask': False},
+                      'feat_recon': {'weight': 0.1, 'loss_name': 'l1',
+                                     'use_min': False, 'use_automask': False}},
+                trainer={'min_depth': 0.1, 'max_depth': 100,
+                         'always_fwd_pose': False, 'precision': prec})
+            trainer = MonoDepthTrainer(cfg)
+            tx = parsers.make_optimizer(cfg)
+            state = trainer.init_state(jax.random.PRNGKey(0), batch[0], (-1, 1), tx)
+
+            fwd, _ = trainer.forward(state.params, state.aux, batch[0], (-1, 1),
+                                     train=True)
+            feat, supp_feat = trainer.extract_features(
+                fwd, batch[0], state.params, state.aux, train=True)
+            assert all(f.dtype == jnp.float32 for f in supp_feat)
+
+            step = make_train_step(trainer, (-1, 1), tx, donate=False)
+            state, sc = step(state, batch[0], batch[1], jax.random.PRNGKey(2))
+            losses[prec] = float(sc['loss'])
+        assert np.isfinite(losses['bf16'])
+        assert abs(losses['bf16'] - losses[32]) / abs(losses[32]) < 0.05
+
     def test_remat_matches(self):
         """Remat changes memory, not numerics: loss identical to baseline."""
         batch = make_batch(jax.random.PRNGKey(1))
