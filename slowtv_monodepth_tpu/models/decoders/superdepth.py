@@ -12,7 +12,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ... import register
-from .utils import ACT, ConvBlock, _resolve_pad, conv3x3, reflect_pad
+from .utils import ACT, ConvBlock, conv3x3
 
 __all__ = ['SuperdepthDecoder']
 
@@ -33,19 +33,22 @@ def pixel_shuffle(x: jnp.ndarray, r: int) -> jnp.ndarray:
 class SubPixelConv(nn.Module):
     """Grouped 3x3 conv producing r² channels per input channel + shuffle
     (ref `superdepth.py:13-26`; the ICNR-style weight init is approximated by
-    the default initializer + zero bias)."""
+    the default initializer + zero bias).
+
+    Always zero-'SAME' padded: the reference uses a plain `nn.Conv2d(...,
+    padding=1)` here (default zeros), NOT the reflect-padded `conv3x3` —
+    pinned by the converter differential in `tests/test_decoder_import.py`.
+    """
     up_factor: int
-    pad_mode: str = 'reflect'
+    pad_mode: str = 'reflect'  # Unused; kept for the shared ctor signature.
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         ch_in = x.shape[-1]
-        zeros = _resolve_pad(self.pad_mode) == 'zeros'
-        out = nn.Conv(ch_in * self.up_factor ** 2, (3, 3),
-                      padding='SAME' if zeros else 'VALID',
+        out = nn.Conv(ch_in * self.up_factor ** 2, (3, 3), padding='SAME',
                       feature_group_count=ch_in,
                       bias_init=nn.initializers.zeros,
-                      name='conv')(x if zeros else reflect_pad(x))
+                      name='conv')(x)
         return pixel_shuffle(out, self.up_factor)
 
 
