@@ -9,7 +9,10 @@ The TPU-native replacement for the reference's torch DataLoader stack:
   global batch is formed by `jax.device_put` of per-host shards.
 - `DataLoader` = prefetching batch iterator over a `BaseDataset`. Items load
   concurrently in a thread pool (image decode in cv2/PIL/numpy releases the
-  GIL) and collate to stacked numpy NHWC batches ready for `device_put`.
+  GIL) or — `worker_mode='process'` — in forked worker processes that inherit
+  the dataset without pickling (the torch-DataLoader-workers equivalent for
+  hosts where decode is GIL-bound); either way batches collate to stacked
+  numpy NHWC arrays ready for `device_put`.
 - `ConcatDataLoader` = round-robin interleaving so every batch is
   single-dataset (shapes differ across datasets; ref `src/utils/loader.py:
   10-35`, rationale `src/tools/parsers.py:161-163`).
@@ -18,12 +21,22 @@ from __future__ import annotations
 
 import queue
 import threading
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 from typing import Iterator, Optional, Sequence
 
 import numpy as np
 
 __all__ = ['ShardedSampler', 'DataLoader', 'ConcatDataLoader']
+
+# Process-mode worker state: set in the PARENT before the fork so workers
+# inherit the dataset through copy-on-write memory — the dataset itself is
+# never pickled (mmap-backed PackDB readers aren't picklable; only the
+# per-item (x, y, m) results cross the process boundary).
+_WORKER_DS = None
+
+
+def _worker_getitem(j: int):
+    return _WORKER_DS[j]
 
 
 class ShardedSampler:
@@ -83,11 +96,15 @@ class DataLoader:
     def __init__(self, dataset, batch_size: int = 1, shuffle: bool = False,
                  drop_last: bool = True, num_workers: int = 4, prefetch: int = 2,
                  seed: int = 42, shard_id: int = 0, num_shards: int = 1,
-                 sampler: Optional[ShardedSampler] = None):
+                 sampler: Optional[ShardedSampler] = None,
+                 worker_mode: str = 'thread'):
+        if worker_mode not in ('thread', 'process'):
+            raise ValueError(f"worker_mode must be thread|process (got '{worker_mode}')")
         self.dataset = dataset
         self.batch_size = batch_size
         self.drop_last = drop_last
         self.num_workers = num_workers
+        self.worker_mode = worker_mode
         self.prefetch = max(prefetch, 1)
         self.sampler = sampler or ShardedSampler(
             len(dataset), shuffle=shuffle, seed=seed,
@@ -122,11 +139,17 @@ class DataLoader:
         def _finish(futs):
             return self.dataset.collate_fn([f.result() for f in futs])
 
+        # Process mode submits the module-level fetch (workers read the
+        # forked-in dataset); submitting the bound method would pickle the
+        # whole dataset per item.
+        fetch = _worker_getitem if self.worker_mode == 'process' \
+            else self.dataset.__getitem__
+
         def feeder(pool):
             try:
                 pending = []
                 for chunk in self._batches():
-                    pending.append([pool.submit(self.dataset.__getitem__, j) for j in chunk])
+                    pending.append([pool.submit(fetch, j) for j in chunk])
                     while len(pending) > self.prefetch:
                         if stop.is_set():
                             return
@@ -139,7 +162,17 @@ class DataLoader:
             except BaseException as e:  # Surface worker errors to the consumer.
                 q.put(e)
 
-        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+        if self.worker_mode == 'process':
+            # Fork AFTER publishing the dataset so children inherit it.
+            import multiprocessing as mp
+            global _WORKER_DS
+            _WORKER_DS = self.dataset
+            pool_cm = ProcessPoolExecutor(max_workers=self.num_workers,
+                                          mp_context=mp.get_context('fork'))
+        else:
+            pool_cm = ThreadPoolExecutor(max_workers=self.num_workers)
+
+        with pool_cm as pool:
             t = threading.Thread(target=feeder, args=(pool,), daemon=True)
             t.start()
             try:

@@ -227,6 +227,20 @@ class TestLoader:
         b4 = next(iter(dl4))
         np.testing.assert_allclose(b0[0]['imgs'], b4[0]['imgs'])
 
+    def test_dataloader_process_workers_match(self, slowtv_root):
+        """`worker_mode='process'` (forked workers inheriting the dataset,
+        torch-DataLoader-style) returns the same batches as in-process."""
+        ds = SlowTvDataset(split='all', mode='train', shape=(32, 64),
+                           datum='image support K', supp_idxs=[-1, 1],
+                           use_aug=False, log_time=False)
+        dl0 = DataLoader(ds, batch_size=3, shuffle=False, num_workers=0,
+                         drop_last=False)
+        dlp = DataLoader(ds, batch_size=3, shuffle=False, num_workers=2,
+                         drop_last=False, worker_mode='process')
+        b0, bp = next(iter(dl0)), next(iter(dlp))
+        np.testing.assert_allclose(b0[0]['imgs'], bp[0]['imgs'])
+        np.testing.assert_allclose(b0[1]['K'], bp[1]['K'])
+
     def test_concat_round_robin(self, slowtv_root, mannequin_root):
         ds1 = SlowTvDataset(split='all', mode='train', shape=(32, 64),
                             datum='image K', use_aug=False, log_time=False)
