@@ -99,3 +99,27 @@ def test_eval_export_cfgs_parse(f):
     assert 'dataset' in cfg and 'type' in cfg['dataset']
     if f.parent.name == 'eval':
         assert 'args' in cfg and 'metrics' in cfg['args']
+
+
+def test_merge_semantics_match_reference_io():
+    """Differential: our YAML merge == the reference's `io.load_merge_yaml`
+    (recursive dict merge, scalar replace, `~` nulls preserved for the
+    parser-level component deletion) over real recipe chains, including a
+    3-file chain and a `~`-deletion recipe (garg: `pose: ~`)."""
+    import sys
+    sys.path.insert(0, str(Path(__file__).parent))
+    from ref_compat import import_reference
+    if import_reference() is None:
+        pytest.skip('reference not importable')
+    from src.utils.io import load_merge_yaml as ref_merge
+
+    chains = [
+        (CFG / 'kbr' / 'default.yaml', CFG / 'kbr' / 'base.yaml'),
+        (CFG / 'kbr' / 'default.yaml', CFG / 'kbr' / 'base.yaml',
+         CFG / 'kbr' / 'tpu.yaml'),
+        (CFG / 'benchmark' / 'default.yaml', CFG / 'benchmark' / 'dvso.yaml'),
+        (CFG / 'benchmark' / 'default.yaml', CFG / 'benchmark' / 'garg.yaml'),
+        (CFG / 'benchmark' / 'default.yaml', CFG / 'benchmark' / 'feat_depth.yaml'),
+    ]
+    for chain in chains:
+        assert load_merge_yaml(*chain) == ref_merge(*chain), chain
