@@ -191,6 +191,7 @@ def get_opt(cfg: dict, steps_per_epoch: int = 1, sched_cfg: Optional[dict] = Non
     lr = float(cfg.pop('lr', 1e-3)) * lr_scale
     blr = cfg.pop('backbone_lr', None)
     frozen_bn = cfg.pop('frozen_bn', False)
+    flatten = bool(cfg.pop('flatten', False))
 
     def make(lr_val, filter_wd):
         sched = get_sched(sched_cfg, lr_val, steps_per_epoch)
@@ -202,7 +203,23 @@ def get_opt(cfg: dict, steps_per_epoch: int = 1, sched_cfg: Optional[dict] = Non
         # (adamw, wd=1e-3, no backbone_lr) hits exactly this path. When
         # `backbone_lr` creates explicit param groups the reference passes a
         # plain list and timm does NOT filter — gate identically.
-        if filter_wd and kw.get('weight_decay') and name in ('adamw', 'lamb'):
+        use_mask = filter_wd and kw.get('weight_decay') and name in ('adamw', 'lamb')
+        if flatten and name in ('adam', 'adamw'):
+            # Update-equivalent decomposition of adam(w) with the moment
+            # update over ONE flat buffer instead of ~200 per-tensor ops
+            # (fewer fusions/launches per step); weight decay and the LR
+            # schedule stay tree-level so the wd mask semantics are
+            # untouched. Opt-in perf experiment: `optimizer.flatten: true`.
+            wd = float(kw.pop('weight_decay', 0.0) or 0.0)
+            parts = [optax.flatten(optax.scale_by_adam(
+                b1=kw.pop('b1', 0.9), b2=kw.pop('b2', 0.999),
+                eps=kw.pop('eps', 1e-8), eps_root=kw.pop('eps_root', 0.0)))]
+            if wd and name == 'adamw':
+                parts.append(optax.add_decayed_weights(
+                    wd, mask=_decay_mask if use_mask else None))
+            parts.append(optax.scale_by_learning_rate(sched))
+            return optax.chain(*parts)
+        if use_mask:
             kw['mask'] = _decay_mask
         return _OPTS[name](learning_rate=sched, **kw)
 

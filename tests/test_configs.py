@@ -123,3 +123,37 @@ def test_merge_semantics_match_reference_io():
     ]
     for chain in chains:
         assert load_merge_yaml(*chain) == ref_merge(*chain), chain
+
+
+def test_flatten_optimizer_matches_adamw():
+    """`optimizer.flatten: true` (flat-buffer adam moments, opt-in perf
+    experiment) is update-equivalent to plain optax.adamw incl. the wd mask
+    and LR schedule, across several steps."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    params = {'encoder': {'kernel': jnp.ones((3, 4)), 'bias': jnp.ones((4,))},
+              'head': {'w': jnp.full((2, 5), 0.5), 'scale': jnp.ones((5,))}}
+    base = dict(lr=0.01, weight_decay=0.01)
+    sched = {'steplr': {'step_size': 1, 'gamma': 0.5}}
+
+    tx_a = parsers.get_opt({'type': 'adamw', **base}, steps_per_epoch=2,
+                           sched_cfg=sched)
+    tx_b = parsers.get_opt({'type': 'adamw', 'flatten': True, **base},
+                           steps_per_epoch=2, sched_cfg=sched)
+
+    pa = pb = params
+    sa, sb = tx_a.init(pa), tx_b.init(pb)
+    rng = np.random.default_rng(0)
+    for _ in range(4):
+        g = jax.tree_util.tree_map(
+            lambda p: jnp.asarray(rng.standard_normal(p.shape), jnp.float32), pa)
+        ua, sa = tx_a.update(g, sa, pa)
+        ub, sb = tx_b.update(g, sb, pb)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                    rtol=1e-6, atol=1e-8), ua, ub)
+        import optax
+        pa = optax.apply_updates(pa, ua)
+        pb = optax.apply_updates(pb, ub)
