@@ -29,7 +29,7 @@ import jax.numpy as jnp
 H, W = 384, 640
 
 
-def build(batch: int, remat: bool = False):
+def build(batch: int, remat: bool = False, flatten: bool = False):
     from slowtv_monodepth_tpu import parsers
     from slowtv_monodepth_tpu.core import MonoDepthTrainer
     from slowtv_monodepth_tpu.parallel import make_train_step
@@ -46,7 +46,8 @@ def build(batch: int, remat: bool = False):
             'img_recon': {'weight': 1, 'use_min': True, 'use_automask': True},
             'disp_smooth': {'weight': 0.001, 'use_edges': True},
         },
-        'optimizer': {'type': 'adamw', 'lr': 1e-4, 'weight_decay': 1e-3},
+        'optimizer': {'type': 'adamw', 'lr': 1e-4, 'weight_decay': 1e-3,
+                      **({'flatten': True} if flatten else {})},
         'scheduler': {'steplr': {'step_size': 40, 'gamma': 0.1},
                       'linear': {'start_factor': 0.1, 'total_iters': 4}},
         'trainer': {'min_depth': 0.1, 'max_depth': 100,
@@ -92,35 +93,46 @@ def main():
     ap.add_argument('--batches', type=int, nargs='+', default=[8, 16])
     ap.add_argument('--remat', action='store_true',
                     help='enable remat on every variant')
+    ap.add_argument('--ab-flatten', action='store_true',
+                    help='A/B optimizer.flatten at the FIRST batch size '
+                         'instead of batch sizes')
     ap.add_argument('--iters', type=int, default=10)
     ap.add_argument('--rounds', type=int, default=3)
     args = ap.parse_args()
 
+    if args.ab_flatten:
+        specs = {f'B{args.batches[0]}-flat{f}': (args.batches[0], f)
+                 for f in (False, True)}
+    else:
+        specs = {f'B{b}': (b, False) for b in args.batches}
+
     variants = {}
-    for b in args.batches:
+    for key, (b, flat) in specs.items():
         try:
-            variants[b] = build(b, remat=args.remat)
+            variants[key] = build(b, remat=args.remat, flatten=flat)
         except Exception as e:  # noqa: BLE001 — report OOM/compile failures per-variant
-            print(f'B={b}: build failed: {type(e).__name__}: {str(e)[:300]}')
+            print(f'{key}: build failed: {type(e).__name__}: {str(e)[:300]}')
     # NOTE: all variants' params/opt-states are co-resident on the chip, so a
     # large batch can OOM here while fitting standalone — confirm a suspected
     # OOM with a solo `--batches N` run before concluding it doesn't fit.
-    best = {b: float('inf') for b in variants}
+    best = {k: float('inf') for k in variants}
     for r in range(args.rounds):
-        for b, v in list(variants.items()):
+        for key, v in list(variants.items()):
             try:
                 ms = timed(*v, args.iters)
             except Exception as e:  # noqa: BLE001 — drop the variant, keep the A/B alive
-                print(f'round {r}: B={b} runtime failure, dropping: '
+                print(f'round {r}: {key} runtime failure, dropping: '
                       f'{type(e).__name__}: {str(e)[:300]}')
-                variants.pop(b)
-                best.pop(b)
+                variants.pop(key)
+                best.pop(key)
                 continue
-            best[b] = min(best[b], ms)
-            print(f'round {r}: B={b} {ms:.1f} ms/step '
+            best[key] = min(best[key], ms)
+            b = specs[key][0]
+            print(f'round {r}: {key} {ms:.1f} ms/step '
                   f'({b / ms * 1000:.1f} imgs/s)')
-    for b, ms in best.items():
-        print(f'best-of-{args.rounds}: B={b} {ms:.1f} ms/step '
+    for key, ms in best.items():
+        b = specs[key][0]
+        print(f'best-of-{args.rounds}: {key} {ms:.1f} ms/step '
               f'({b / ms * 1000:.1f} imgs/s)')
 
 
