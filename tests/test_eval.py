@@ -226,3 +226,28 @@ class TestEvaluatorDifferential:
             np.testing.assert_allclose(
                 our_mean[k], ref_mean[k], rtol=1e-4, atol=1e-6,
                 err_msg=f'metric {k} (align={align})')
+
+
+def test_quickstart_align_matches_evaluator():
+    """The standalone quickstart alignment helpers mirror the evaluator's."""
+    import importlib.util
+    from pathlib import Path
+    spec = importlib.util.spec_from_file_location(
+        'qs_align', Path(__file__).resolve().parents[1] / 'api' / 'quickstart' / 'align.py')
+    qs = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(qs)
+
+    rng = np.random.default_rng(0)
+    pred = 0.1 + rng.random(500).astype(np.float32)
+    target = 3.0 * pred + 0.2 + 0.01 * rng.random(500).astype(np.float32)
+
+    ev = MonoDepthEvaluator(align_mode='lsqr')
+    a, b = ev._align_lsqr(pred, target)
+    a2, b2 = qs.align_lsqr(pred, target)
+    np.testing.assert_allclose([a2, b2], [a, b], rtol=1e-5)
+
+    ev = MonoDepthEvaluator(align_mode='median')
+    a, b = ev.align(pred, target)
+    np.testing.assert_allclose(qs.align_median(pred, target), a, rtol=1e-6)
+    # Degenerate (all-zero preds): the singular guard returns 0, 0.
+    assert qs.align_lsqr(np.zeros(10, np.float32), target[:10]) == (0, 0)
