@@ -35,6 +35,22 @@ __all__ = ['ShardedSampler', 'DataLoader', 'ConcatDataLoader']
 _WORKER_DS = None
 
 
+def _worker_init(counter, base_seed: int) -> None:
+    """Decorrelate forked workers' aug RNG (torch worker_init equivalent).
+
+    Every fork inherits the parent's global `random`/`np.random` state, so
+    without reseeding all workers would draw IDENTICAL flip/jitter/support
+    sequences. Each worker takes a unique id from the shared counter and
+    seeds as `base_seed + id` (base varies per epoch via the sampler).
+    """
+    import random
+    with counter.get_lock():
+        wid = counter.value
+        counter.value += 1
+    random.seed(base_seed + wid)
+    np.random.seed((base_seed + wid) % 2 ** 32)
+
+
 def _worker_getitem(j: int):
     return _WORKER_DS[j]
 
@@ -167,8 +183,12 @@ class DataLoader:
             import multiprocessing as mp
             global _WORKER_DS
             _WORKER_DS = self.dataset
-            pool_cm = ProcessPoolExecutor(max_workers=self.num_workers,
-                                          mp_context=mp.get_context('fork'))
+            ctx = mp.get_context('fork')
+            base_seed = self.sampler.seed + 7919 * self.sampler.epoch
+            pool_cm = ProcessPoolExecutor(
+                max_workers=self.num_workers, mp_context=ctx,
+                initializer=_worker_init,
+                initargs=(ctx.Value('i', 0), base_seed))
         else:
             pool_cm = ThreadPoolExecutor(max_workers=self.num_workers)
 

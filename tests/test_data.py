@@ -191,6 +191,14 @@ class TestSyns:
             SynsPatchesDataset(mode='test', supp_idxs=[-1], log_time=False)
 
 
+def _rng_probe():
+    import os
+    import random
+    import time
+    time.sleep(0.3)  # Hold the worker so both workers get one probe.
+    return os.getpid(), random.random()
+
+
 class TestLoader:
     def test_sharded_sampler_disjoint(self):
         samplers = [ShardedSampler(20, shuffle=True, seed=1, shard_id=i, num_shards=4)
@@ -240,6 +248,26 @@ class TestLoader:
         b0, bp = next(iter(dl0)), next(iter(dlp))
         np.testing.assert_allclose(b0[0]['imgs'], bp[0]['imgs'])
         np.testing.assert_allclose(b0[1]['K'], bp[1]['K'])
+
+    def test_process_workers_rng_decorrelated(self, slowtv_root):
+        """Forked workers must NOT inherit identical aug RNG streams: the
+        initializer reseeds per worker (torch worker_init equivalent).
+        Probes sleep so each worker draws its own first sample."""
+        import multiprocessing as mp
+        from concurrent.futures import ProcessPoolExecutor
+
+        from slowtv_monodepth_tpu.data import loader as loader_mod
+
+        ctx = mp.get_context('fork')
+        with ProcessPoolExecutor(max_workers=2, mp_context=ctx,
+                                 initializer=loader_mod._worker_init,
+                                 initargs=(ctx.Value('i', 0), 123)) as pool:
+            results = [f.result() for f in [pool.submit(_rng_probe),
+                                            pool.submit(_rng_probe)]]
+        pids = {pid for pid, _ in results}
+        draws = [v for _, v in results]
+        if len(pids) == 2:  # Both workers exercised: first draws must differ.
+            assert draws[0] != draws[1]
 
     def test_concat_round_robin(self, slowtv_root, mannequin_root):
         ds1 = SlowTvDataset(split='all', mode='train', shape=(32, 64),
