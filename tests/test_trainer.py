@@ -358,3 +358,53 @@ class TestPrecision:
             _, sc = step(state, batch[0], batch[1], jax.random.PRNGKey(2))
             losses[remat] = float(sc['loss'])
         np.testing.assert_allclose(losses[True], losses[False], rtol=1e-6)
+
+
+class TestGradAccumulation:
+    def test_accum2_matches_real_double_batch(self):
+        """The TPU recipe's SGD-identity claim (cfg/kbr/tpu.yaml): batch 2b
+        in ONE step == batch b x accumulate 2 over the same images. Both
+        average per-pixel losses, so mean_2b = mean of the two mean_b's and
+        MultiSteps' averaged grads reproduce the big-batch grad exactly.
+
+        ConvNeXt encoders (the KBR family): LayerNorm is batch-independent,
+        which the identity requires — BatchNorm encoders legitimately differ
+        (batch statistics over 2b vs two b's)."""
+        cfg = make_cfg(
+            net={'depth': {'enc_name': 'convnext_atto', 'pretrained': False,
+                           'dec_name': 'monodepth', 'out_scales': [0, 1]},
+                 'pose': {'enc_name': 'convnext_atto', 'pretrained': False}},
+            # No automask: its PRNG tie-break noise draws differ between one
+            # step and two micro-steps; everything else is deterministic.
+            loss={'img_recon': {'weight': 1, 'use_min': True,
+                                'use_automask': False},
+                  'disp_smooth': {'weight': 0.001, 'use_edges': True}},
+            trainer={'min_depth': 0.1, 'max_depth': 100,
+                     'always_fwd_pose': False, 'matmul': 'highest'})
+
+        x, y = make_batch(jax.random.PRNGKey(5), b=4)
+        half = lambda d, s: {k: (v[:, s] if k == 'supp_imgs' else v[s])  # noqa: E731
+                             for k, v in d.items()}
+
+        # A: two micro-batches of 2 with accumulate=2.
+        trainer = MonoDepthTrainer(cfg)
+        tx_a = parsers.make_optimizer(cfg, accumulate=2)
+        state_a = trainer.init_state(jax.random.PRNGKey(0), half(x, slice(0, 2)),
+                                     (-1, 1), tx_a)
+        step_a = make_train_step(trainer, (-1, 1), tx_a, donate=False)
+        rng = jax.random.PRNGKey(9)
+        state_a, _ = step_a(state_a, half(x, slice(0, 2)), half(y, slice(0, 2)), rng)
+        state_a, _ = step_a(state_a, half(x, slice(2, 4)), half(y, slice(2, 4)), rng)
+
+        # B: the full batch of 4 in one real step.
+        tx_b = parsers.make_optimizer(cfg, accumulate=1)
+        state_b = trainer.init_state(jax.random.PRNGKey(0), x, (-1, 1), tx_b)
+        step_b = make_train_step(trainer, (-1, 1), tx_b, donate=False)
+        state_b, _ = step_b(state_b, x, y, rng)
+
+        # atol: f32 reassociation noise — grads over (2b,...) vs two (b,...)
+        # layouts reduce in different orders (observed max diff ~8e-7).
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                    rtol=2e-5, atol=3e-6),
+            state_a.params, state_b.params)
