@@ -19,6 +19,8 @@ The TPU-native replacement for the reference's torch DataLoader stack:
 """
 from __future__ import annotations
 
+import functools
+import itertools
 import queue
 import threading
 from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
@@ -28,11 +30,17 @@ import numpy as np
 
 __all__ = ['ShardedSampler', 'DataLoader', 'ConcatDataLoader']
 
-# Process-mode worker state: set in the PARENT before the fork so workers
-# inherit the dataset through copy-on-write memory — the dataset itself is
-# never pickled (mmap-backed PackDB readers aren't picklable; only the
-# per-item (x, y, m) results cross the process boundary).
-_WORKER_DS = None
+# Process-mode worker state: registered in the PARENT before the fork so
+# workers inherit the dataset through copy-on-write memory — the dataset
+# itself is never pickled (mmap-backed PackDB readers aren't picklable; only
+# the per-item (x, y, m) results cross the process boundary). Keyed per
+# loader: `ConcatDataLoader` keeps several loaders' pools alive concurrently
+# and `ProcessPoolExecutor` forks workers LAZILY at submit time, so a
+# single-slot global would let a late fork in loader A's pool inherit loader
+# B's dataset. A worker always holds a registry superset containing its own
+# loader's key (registration happens before its pool exists).
+_WORKER_DS: dict = {}
+_DS_KEYS = itertools.count()
 
 
 def _worker_init(counter, base_seed: int) -> None:
@@ -51,8 +59,8 @@ def _worker_init(counter, base_seed: int) -> None:
     np.random.seed((base_seed + wid) % 2 ** 32)
 
 
-def _worker_getitem(j: int):
-    return _WORKER_DS[j]
+def _worker_getitem(key: int, j: int):
+    return _WORKER_DS[key][j]
 
 
 class ShardedSampler:
@@ -155,11 +163,12 @@ class DataLoader:
         def _finish(futs):
             return self.dataset.collate_fn([f.result() for f in futs])
 
-        # Process mode submits the module-level fetch (workers read the
-        # forked-in dataset); submitting the bound method would pickle the
-        # whole dataset per item.
-        fetch = _worker_getitem if self.worker_mode == 'process' \
-            else self.dataset.__getitem__
+        # Process mode submits the module-level fetch keyed to THIS
+        # iteration's registry entry (workers read the forked-in dataset);
+        # submitting the bound method would pickle the whole dataset per item.
+        ds_key = next(_DS_KEYS)
+        fetch = (functools.partial(_worker_getitem, ds_key)
+                 if self.worker_mode == 'process' else self.dataset.__getitem__)
 
         def feeder(pool):
             try:
@@ -179,10 +188,10 @@ class DataLoader:
                 q.put(e)
 
         if self.worker_mode == 'process':
-            # Fork AFTER publishing the dataset so children inherit it.
+            # Register BEFORE creating the pool so every fork of it (even the
+            # lazy ones at later submits) inherits this loader's entry.
             import multiprocessing as mp
-            global _WORKER_DS
-            _WORKER_DS = self.dataset
+            _WORKER_DS[ds_key] = self.dataset
             ctx = mp.get_context('fork')
             base_seed = self.sampler.seed + 7919 * self.sampler.epoch
             pool_cm = ProcessPoolExecutor(
@@ -192,23 +201,28 @@ class DataLoader:
         else:
             pool_cm = ThreadPoolExecutor(max_workers=self.num_workers)
 
-        with pool_cm as pool:
-            t = threading.Thread(target=feeder, args=(pool,), daemon=True)
-            t.start()
-            try:
-                while True:
-                    out = q.get()
-                    if out is None:
-                        break
-                    if isinstance(out, BaseException):
-                        raise out
-                    yield out
-            finally:
-                stop.set()
-                # Drain so the feeder's blocking put can observe `stop`.
-                while not q.empty():
-                    q.get_nowait()
-                t.join(timeout=5)
+        try:
+            with pool_cm as pool:
+                t = threading.Thread(target=feeder, args=(pool,), daemon=True)
+                t.start()
+                try:
+                    while True:
+                        out = q.get()
+                        if out is None:
+                            break
+                        if isinstance(out, BaseException):
+                            raise out
+                        yield out
+                finally:
+                    stop.set()
+                    # Drain so the feeder's blocking put can observe `stop`.
+                    while not q.empty():
+                        q.get_nowait()
+                    t.join(timeout=5)
+        finally:
+            # This pool can no longer fork, so the parent-side entry is done
+            # (children's forked copies are unaffected by the pop).
+            _WORKER_DS.pop(ds_key, None)
 
 
 class ConcatDataLoader:

@@ -269,6 +269,40 @@ class TestLoader:
         if len(pids) == 2:  # Both workers exercised: first draws must differ.
             assert draws[0] != draws[1]
 
+    def test_concurrent_process_loaders_keep_own_dataset(self):
+        """Two process-mode loaders iterated interleaved (the ConcatDataLoader
+        situation) must each serve THEIR dataset: `ProcessPoolExecutor` forks
+        workers lazily at submit time, so a single-slot worker global would
+        let a late fork in loader A's pool inherit loader B's dataset. The
+        registry is keyed per iteration to prevent exactly that."""
+
+        class _IdxDataset:
+            def __init__(self, offset):
+                self.offset = offset
+
+            def __len__(self):
+                return 8
+
+            def __getitem__(self, j):
+                return self.offset + j
+
+            @staticmethod
+            def collate_fn(items):
+                return list(items)
+
+        dla = DataLoader(_IdxDataset(0), batch_size=1, shuffle=False,
+                         num_workers=2, prefetch=1, drop_last=False,
+                         worker_mode='process')
+        dlb = DataLoader(_IdxDataset(1000), batch_size=1, shuffle=False,
+                         num_workers=2, prefetch=1, drop_last=False,
+                         worker_mode='process')
+        got_a, got_b = [], []
+        for ba, bb in zip(iter(dla), iter(dlb)):
+            got_a += ba
+            got_b += bb
+        assert got_a == list(range(8))
+        assert got_b == list(range(1000, 1008))
+
     def test_concat_round_robin(self, slowtv_root, mannequin_root):
         ds1 = SlowTvDataset(split='all', mode='train', shape=(32, 64),
                             datum='image K', use_aug=False, log_time=False)
