@@ -1,0 +1,41 @@
+"""Driver-contract tests for `bench.py`'s backend probe.
+
+The driver runs `python bench.py` at round end against the axon TPU tunnel,
+which can be mid-outage (jax.devices() wedges in C, or libtpu raises a
+client/terminal version mismatch). The bench must fail FAST with rc=1 and a
+clear message — after re-exec'ing itself a bounded number of times so a
+transient blip doesn't zero the round's perf signal.
+
+These tests simulate an unreachable backend with a nonexistent JAX platform.
+Plugin discovery still initializes the (possibly dead) axon backend before
+platform-name resolution, so this reproduces the WEDGE mode — the probe
+thread never completes and the timeout path fires (the timeout is shrunk via
+SLOWTV_BENCH_PROBE_TIMEOUT_S to keep the test fast).
+"""
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+@pytest.mark.slow
+def test_probe_retries_then_fails_fast():
+    env = {k: v for k, v in os.environ.items() if k != 'JAX_PLATFORMS'}
+    env.update({
+        'JAX_PLATFORMS': 'nonexistent_backend',
+        'SLOWTV_BENCH_PROBE_RETRIES': '1',
+        'SLOWTV_BENCH_PROBE_SLEEP_S': '0.1',
+        'SLOWTV_BENCH_PROBE_TIMEOUT_S': '10',
+    })
+    r = subprocess.run([sys.executable, str(REPO / 'bench.py')],
+                       cwd=REPO, env=env, capture_output=True, text=True,
+                       timeout=300)
+    assert r.returncode == 1, (r.returncode, r.stderr[-2000:])
+    assert 'retry 1/1' in r.stderr
+    assert 'unreachable after 2 attempts' in r.stderr
+    # No JSON metric line may be emitted on failure (the driver parses stdout).
+    assert '"metric"' not in r.stdout
