@@ -212,6 +212,109 @@ class TestAspectRatioParity:
                 assert ours == theirs, (shape, ref_shape, ours, theirs)
 
 
+    def test_full_aug_matches_reference(self, monkeypatch):
+        """Our fused crop+resize == the reference's ACTUAL two-stage pipeline
+        (`aspect_ratio.py:36-64`: kornia center_crop -> F.interpolate, plus
+        centre_crop_K/resize_K), run end to end through the reference's
+        `aspect_ratio_aug` with its samplers pinned.
+
+        Restricted to crops with even (h-ch, w-cw): there kornia's bilinear
+        center_crop is an exact integer slice, so the reference composition is
+        a single half-pixel-center bilinear map — which is exactly what our
+        fused `crop_resize` computes. (Odd offsets insert an extra +/-0.5px
+        resample in the reference; our fused map is the analytic composition —
+        a deliberate, documented numerics redesign.)
+        """
+        import importlib.util
+        import torch.nn.functional as TF
+
+        from ref_compat import _stub
+        from slowtv_monodepth_tpu.core import aspect_ratio as our_ar
+
+        def center_crop(img, size, mode='bilinear', align_corners=False):
+            h, w = img.shape[-2:]
+            ch, cw = size
+            dy, dx = h - ch, w - cw
+            assert dy % 2 == 0 and dx % 2 == 0, 'test restricted to exact slices'
+            return img[..., dy // 2:dy // 2 + ch, dx // 2:dx // 2 + cw]
+
+        _stub('kornia.geometry.transform', center_crop=center_crop)
+        spec = importlib.util.spec_from_file_location(
+            'ref_ar_full', '/root/reference/src/core/aspect_ratio.py')
+        ref_ar = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(ref_ar)
+
+        h, w, b, n = 96, 160, 2, 2
+        ref_shape = (64, 96)
+        for crop_shape, ratio in (((64, 96), 3 / 2), ((48, 96), 2 / 1),
+                                  ((80, 80), 1 / 1), ((96, 64), 2 / 3)):
+            imgs = rand(b, h, w, 3)
+            supp = rand(n, b, h, w, 3)
+            depth = rand(b, h, w, 1)
+            K = np.diag([100.0, 110.0, 1, 1]).astype(np.float32)[None].repeat(b, 0)
+            K[:, 0, 2], K[:, 1, 2] = w / 2, h / 2
+
+            # Reference path: real aspect_ratio_aug with pinned samplers.
+            # (`ref_ar.random` IS the stdlib module — monkeypatch restores it.)
+            monkeypatch.setattr(ref_ar, 'sample_crop',
+                                lambda *a, **k: (crop_shape, ratio))
+            monkeypatch.setattr(ref_ar.random, 'random', lambda: 0.0)
+            tx = {'imgs': to_torch_nchw(imgs),
+                  'supp_imgs': torch.stack([to_torch_nchw(s) for s in supp])}
+            ty_ = {'imgs': to_torch_nchw(imgs),
+                   'supp_imgs': torch.stack([to_torch_nchw(s) for s in supp]),
+                   'depth': to_torch_nchw(depth),
+                   'K': torch.from_numpy(K.copy())}
+            rx, ry, rm = ref_ar.aspect_ratio_aug((tx, ty_, {}), p=1.0,
+                                                 ref_shape=ref_shape)
+
+            # Ours: same crop + bucket through the fused resample.
+            out_shape = our_ar.sample_resize(crop_shape, ref_shape, eps=0.8)
+            assert tuple(rx['imgs'].shape[-2:]) == out_shape
+            x = {'imgs': jnp.asarray(imgs), 'supp_imgs': jnp.asarray(supp)}
+            y = {'imgs': jnp.asarray(imgs), 'supp_imgs': jnp.asarray(supp),
+                 'depth': jnp.asarray(depth), 'K': jnp.asarray(K)}
+            ox, oy, _ = our_ar._apply((x, y, {}), crop_hw=crop_shape,
+                                      out_shape=out_shape)
+
+            np.testing.assert_allclose(
+                np.asarray(ox['imgs']), from_torch_nchw(rx['imgs']),
+                atol=2e-6, err_msg=f'imgs {crop_shape}')
+            np.testing.assert_allclose(
+                np.asarray(oy['depth']), from_torch_nchw(ry['depth']),
+                atol=2e-6, err_msg=f'depth {crop_shape}')
+            for j in range(n):
+                np.testing.assert_allclose(
+                    np.asarray(ox['supp_imgs'][j]),
+                    from_torch_nchw(rx['supp_imgs'][j]), atol=2e-6,
+                    err_msg=f'supp {crop_shape}')
+            np.testing.assert_allclose(
+                np.asarray(oy['K']), ry['K'].numpy(), rtol=1e-6,
+                err_msg=f'K {crop_shape}')
+
+    def test_adjust_K_matches_reference_ops(self):
+        """`_adjust_K` == reference centre_crop_K then resize_K for ARBITRARY
+        (odd-offset included) crops (ref `geometry.py:232-263`)."""
+        from slowtv_monodepth_tpu.core.aspect_ratio import _adjust_K
+        geo = src.tools.geometry
+
+        rng = np.random.default_rng(3)
+        for _ in range(10):
+            h, w = int(rng.integers(50, 200)), int(rng.integers(50, 300))
+            ch, cw = int(rng.integers(16, h + 1)), int(rng.integers(16, w + 1))
+            oh, ow = int(rng.integers(16, 128)), int(rng.integers(16, 128))
+            K = np.eye(4, dtype=np.float32)[None].repeat(2, 0)
+            K[:, 0, 0] = rng.random(2) * 100 + 50
+            K[:, 1, 1] = rng.random(2) * 100 + 50
+            K[:, 0, 2], K[:, 1, 2] = w / 2 + rng.random(2), h / 2 + rng.random(2)
+
+            Kr = geo.centre_crop_K(torch.from_numpy(K.copy()), (ch, cw), (h, w))
+            Kr = geo.resize_K(Kr, (oh, ow), shape=(ch, cw))
+            Ko = _adjust_K(jnp.asarray(K), jnp.asarray([ch, cw], jnp.float32),
+                           (h, w), (oh, ow))
+            np.testing.assert_allclose(np.asarray(Ko), Kr.numpy(), rtol=1e-5)
+
+
 class TestSchedulerParity:
     """Per-epoch LR trajectories vs the reference's torch schedulers.
 
