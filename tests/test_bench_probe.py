@@ -7,10 +7,16 @@ clear message — after re-exec'ing itself a bounded number of times so a
 transient blip doesn't zero the round's perf signal.
 
 These tests simulate an unreachable backend with a nonexistent JAX platform.
-Plugin discovery still initializes the (possibly dead) axon backend before
-platform-name resolution, so this reproduces the WEDGE mode — the probe
-thread never completes and the timeout path fires (the timeout is shrunk via
-SLOWTV_BENCH_PROBE_TIMEOUT_S to keep the test fast).
+The axon registration must be skipped (PALLAS_AXON_POOL_IPS unset): the
+container's sitecustomize otherwise registers the real tunnel backend at
+interpreter start, and when the tunnel is HEALTHY that overrides the
+nonexistent platform name — the probe would succeed and the bench would run
+a real multi-minute TPU benchmark inside this test (observed 2026-08-18).
+With registration skipped, `jax.devices()` raises fast and deterministically,
+exercising the probe's RAISE mode plus the full re-exec retry chain. (The
+WEDGE mode — devices() blocking forever in C — needs a dead tunnel and
+cannot be simulated hermetically; the timeout path shares all its
+retry/exit code with the raise path.)
 """
 import os
 import subprocess
@@ -24,7 +30,8 @@ REPO = Path(__file__).resolve().parents[1]
 
 @pytest.mark.slow
 def test_probe_retries_then_fails_fast():
-    env = {k: v for k, v in os.environ.items() if k != 'JAX_PLATFORMS'}
+    env = {k: v for k, v in os.environ.items()
+           if k not in ('JAX_PLATFORMS', 'PALLAS_AXON_POOL_IPS')}
     env.update({
         'JAX_PLATFORMS': 'nonexistent_backend',
         'SLOWTV_BENCH_PROBE_RETRIES': '1',
