@@ -22,12 +22,15 @@ import time
 import jax
 
 # Persistent compile cache: repeat bench runs skip the multi-minute XLA
-# compile of the full train step.
+# compile of the full train step. Host-keyed under /tmp — never a repo dir,
+# which may move between machines and poison the cache (r02 post-mortem).
+import sys as _sys  # noqa: E402
 from pathlib import Path as _Path  # noqa: E402
 
-jax.config.update('jax_compilation_cache_dir',
-                  str(_Path(__file__).resolve().parent / '.jax_cache'))
-jax.config.update('jax_persistent_cache_min_compile_time_secs', 1)
+_sys.path.insert(0, str(_Path(__file__).resolve().parent))
+from slowtv_monodepth_tpu.utils.jax_cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache('bench')
 import jax.numpy as jnp
 
 A100_PYTORCH_IMGS_PER_SEC_ESTIMATE = 30.0
@@ -82,6 +85,10 @@ def _probe_backend(timeout_s: float | None = None):
 
     def _devs():
         try:
+            if os.environ.get('SLOWTV_BENCH_SIMULATE_WEDGE'):
+                # Test hook: stand in for jax.devices() blocking forever in C
+                # (a dead tunnel cannot be simulated hermetically otherwise).
+                threading.Event().wait()
             out.append(jax.devices())
         except Exception as e:  # noqa: BLE001 — report any backend-init failure
             err.append(e)

@@ -14,14 +14,16 @@ from .swin import SwinEncoder, SWIN_SPECS
 from .beit import BeitEncoder, BEIT_SPECS
 from .mbnet import MBNetEncoder, MBNET_SPECS
 from .hrnet import HRNetEncoder, HRNET_SPECS
+from .toy import ToyEncoder, TOY_SPECS
 
 __all__ = ['create_encoder', 'ENCODER_SPECS', 'ResNetEncoder', 'ConvNeXtEncoder',
            'ViTEncoder', 'SwinEncoder', 'BeitEncoder', 'MBNetEncoder',
-           'HRNetEncoder', 'RESNET_SPECS', 'CONVNEXT_SPECS', 'VIT_SPECS',
-           'SWIN_SPECS', 'BEIT_SPECS', 'MBNET_SPECS', 'HRNET_SPECS']
+           'HRNetEncoder', 'ToyEncoder', 'RESNET_SPECS', 'CONVNEXT_SPECS',
+           'VIT_SPECS', 'SWIN_SPECS', 'BEIT_SPECS', 'MBNET_SPECS', 'HRNET_SPECS',
+           'TOY_SPECS']
 
 ENCODER_SPECS = {**RESNET_SPECS, **CONVNEXT_SPECS, **VIT_SPECS, **SWIN_SPECS,
-                 **BEIT_SPECS, **MBNET_SPECS, **HRNET_SPECS}
+                 **BEIT_SPECS, **MBNET_SPECS, **HRNET_SPECS, **TOY_SPECS}
 
 
 def create_encoder(name: str, in_chans: int = 3, gelu: str = 'exact'):
@@ -34,7 +36,10 @@ def create_encoder(name: str, in_chans: int = 3, gelu: str = 'exact'):
     """
     if gelu not in ('exact', 'tanh'):
         raise KeyError(f'Invalid gelu flavor. ({gelu} vs. ("exact", "tanh"))')
-    if name in RESNET_SPECS:
+    if name in TOY_SPECS:
+        spec = TOY_SPECS[name]
+        enc = ToyEncoder(channels=spec['channels'], in_chans=in_chans)
+    elif name in RESNET_SPECS:
         spec = RESNET_SPECS[name]
         enc = ResNetEncoder(block=spec['block'], layers=spec['layers'],
                             groups=spec.get('groups', 1),

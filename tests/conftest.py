@@ -19,9 +19,12 @@ jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_enable_x64', False)
 
 # Persistent compile cache: repeat suite runs skip recompiling the big jitted
-# train steps (several minutes each on CPU).
+# train steps (several minutes each on CPU). Host-keyed under /tmp — never in
+# the worktree, which may move between machines (r02 post-mortem).
+import sys  # noqa: E402
 import pathlib  # noqa: E402
 
-_cache = pathlib.Path(__file__).resolve().parents[1] / '.jax_cache_cpu'
-jax.config.update('jax_compilation_cache_dir', str(_cache))
-jax.config.update('jax_persistent_cache_min_compile_time_secs', 1)
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+from slowtv_monodepth_tpu.utils.jax_cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache('tests')

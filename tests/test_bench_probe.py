@@ -13,10 +13,9 @@ interpreter start, and when the tunnel is HEALTHY that overrides the
 nonexistent platform name — the probe would succeed and the bench would run
 a real multi-minute TPU benchmark inside this test (observed 2026-08-18).
 With registration skipped, `jax.devices()` raises fast and deterministically,
-exercising the probe's RAISE mode plus the full re-exec retry chain. (The
-WEDGE mode — devices() blocking forever in C — needs a dead tunnel and
-cannot be simulated hermetically; the timeout path shares all its
-retry/exit code with the raise path.)
+exercising the probe's RAISE mode plus the full re-exec retry chain. The
+WEDGE mode — devices() blocking forever in C — is simulated hermetically via
+the env-gated SLOWTV_BENCH_SIMULATE_WEDGE hook in the probe itself.
 """
 import os
 import subprocess
@@ -30,8 +29,11 @@ REPO = Path(__file__).resolve().parents[1]
 
 @pytest.mark.slow
 def test_probe_retries_then_fails_fast():
+    # Strip SLOWTV_BENCH_* too: a leaked SLOWTV_BENCH_ATTEMPT would start the
+    # child mid-retry-chain and skew the 'retry 1/1' assertions (ADVICE r02).
     env = {k: v for k, v in os.environ.items()
-           if k not in ('JAX_PLATFORMS', 'PALLAS_AXON_POOL_IPS')}
+           if k not in ('JAX_PLATFORMS', 'PALLAS_AXON_POOL_IPS')
+           and not k.startswith('SLOWTV_BENCH_')}
     env.update({
         'JAX_PLATFORMS': 'nonexistent_backend',
         'SLOWTV_BENCH_PROBE_RETRIES': '1',
@@ -45,4 +47,27 @@ def test_probe_retries_then_fails_fast():
     assert 'retry 1/1' in r.stderr
     assert 'unreachable after 2 attempts' in r.stderr
     # No JSON metric line may be emitted on failure (the driver parses stdout).
+    assert '"metric"' not in r.stdout
+
+
+@pytest.mark.slow
+def test_probe_wedge_timeout_path():
+    """WEDGE mode via the env-gated hook (ADVICE r02): the probe thread
+    blocks forever, the t.join expiry message path fires, and the same
+    retry/exit contract holds."""
+    env = {k: v for k, v in os.environ.items()
+           if k not in ('JAX_PLATFORMS', 'PALLAS_AXON_POOL_IPS')
+           and not k.startswith('SLOWTV_BENCH_')}
+    env.update({
+        'SLOWTV_BENCH_SIMULATE_WEDGE': '1',
+        'SLOWTV_BENCH_PROBE_RETRIES': '1',
+        'SLOWTV_BENCH_PROBE_SLEEP_S': '0.1',
+        'SLOWTV_BENCH_PROBE_TIMEOUT_S': '2',
+    })
+    r = subprocess.run([sys.executable, str(REPO / 'bench.py')],
+                       cwd=REPO, env=env, capture_output=True, text=True,
+                       timeout=300)
+    assert r.returncode == 1, (r.returncode, r.stderr[-2000:])
+    assert 'did not complete within 2' in r.stderr
+    assert 'unreachable after 2 attempts' in r.stderr
     assert '"metric"' not in r.stdout

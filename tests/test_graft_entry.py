@@ -43,3 +43,34 @@ class TestDryrunMultichip:
         r = _run_dryrun({})
         assert r.returncode == 0, r.stderr[-2000:]
         assert 'dryrun_multichip(8): OK' in r.stdout
+
+    def test_poisoned_persistent_cache_is_ignored(self):
+        """Round-2 regression: a stale `.jax_cache_cpu` in the worktree must
+        neither be read nor written.
+
+        Round 2 configured `jax_compilation_cache_dir=<repo>/.jax_cache_cpu`;
+        the shipped dir held AOT executables compiled on a host with different
+        CPU features, and loading them wedged the 8-device program at its
+        first collective (MULTICHIP_r02.json, rc 134). The dry run now always
+        cold-compiles: even with the env var set AND a poisoned dir present,
+        it must succeed and leave the dir untouched.
+        """
+        cache = REPO / '.jax_cache_cpu'
+        existed = cache.exists()
+        try:
+            cache.mkdir(exist_ok=True)
+            poison = cache / 'jit__train_step-poisoned'
+            poison.write_bytes(b'\x00not-an-executable\x00')
+            before = sorted(p.name for p in cache.iterdir())
+            r = _run_dryrun({
+                'XLA_FLAGS': '--xla_force_host_platform_device_count=8',
+                'JAX_COMPILATION_CACHE_DIR': str(cache),
+            })
+            assert r.returncode == 0, r.stderr[-2000:]
+            assert 'dryrun_multichip(8): OK' in r.stdout
+            after = sorted(p.name for p in cache.iterdir())
+            assert after == before, f'dryrun touched the cache dir: {after}'
+        finally:
+            poison.unlink(missing_ok=True)
+            if not existed and cache.exists() and not any(cache.iterdir()):
+                cache.rmdir()

@@ -16,9 +16,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
 
 import jax
 
-jax.config.update('jax_compilation_cache_dir',
-                  str(Path(__file__).resolve().parents[2] / '.jax_cache'))
-jax.config.update('jax_persistent_cache_min_compile_time_secs', 1)
+from slowtv_monodepth_tpu.utils.jax_cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache('bench')
 import jax.numpy as jnp
 
 B, H, W = 8, 384, 640

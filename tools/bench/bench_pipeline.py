@@ -133,9 +133,8 @@ def main():
     args = ap.parse_args()
 
     import jax
-    jax.config.update('jax_compilation_cache_dir',
-                      str(Path(__file__).resolve().parents[2] / '.jax_cache'))
-    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1)
+    from slowtv_monodepth_tpu.utils.jax_cache import enable_persistent_cache
+    enable_persistent_cache('bench')
 
     shape, ref_shape = ((96, 160), (64, 96)) if args.small else \
         ((720, 1280), (384, 640))

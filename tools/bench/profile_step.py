@@ -27,9 +27,8 @@ def capture(batch: int, steps: int, warp_bf16: bool = False) -> None:
     import jax
     import jax.numpy as jnp
 
-    jax.config.update('jax_compilation_cache_dir',
-                      str(Path(__file__).resolve().parents[2] / '.jax_cache'))
-    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1)
+    from slowtv_monodepth_tpu.utils.jax_cache import enable_persistent_cache
+    enable_persistent_cache('bench')
 
     from slowtv_monodepth_tpu import parsers
     from slowtv_monodepth_tpu.core import MonoDepthTrainer
