@@ -18,7 +18,10 @@ from pathlib import Path
 
 import numpy as np
 
-sys.path.insert(0, str(Path(__file__).resolve().parents[3]))
+try:
+    import slowtv_monodepth_tpu  # noqa: F401
+except ImportError:  # raw checkout without `pip install -e .`
+    sys.path.insert(0, str(Path(__file__).resolve().parents[3]))
 
 from slowtv_monodepth_tpu import parsers  # noqa: E402
 
@@ -61,14 +64,21 @@ def export(ds_type: str, mode: str, datum: str, save_stem: str,
     return save_file
 
 
-if __name__ == '__main__':
+def main():
     parser = ArgumentParser('Export GT evaluation targets from a dataset.')
     parser.add_argument('--type', required=True, help='Registered dataset key.')
     parser.add_argument('--mode', default='test')
     parser.add_argument('--datum', default='image depth K')
     parser.add_argument('--save-stem', default=None)
     parser.add_argument('--overwrite', default=0, type=int)
+    parser.add_argument('--kw', action='append', default=[],
+                        help='Extra dataset kwargs as key=value (e.g. --kw scene=indoors).')
     args = parser.parse_args()
 
+    kw = dict(item.split('=', 1) for item in args.kw)
     export(args.type, args.mode, args.datum,
-           args.save_stem or f'targets_{args.mode}', args.overwrite)
+           args.save_stem or f'targets_{args.mode}', args.overwrite, **kw)
+
+
+if __name__ == '__main__':
+    main()

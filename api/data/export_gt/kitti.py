@@ -14,7 +14,10 @@ from typing import Optional
 
 import numpy as np
 
-sys.path.insert(0, str(Path(__file__).resolve().parents[3]))
+try:
+    import slowtv_monodepth_tpu  # noqa: F401
+except ImportError:  # raw checkout without `pip install -e .`
+    sys.path.insert(0, str(Path(__file__).resolve().parents[3]))
 
 from slowtv_monodepth_tpu.data.devkits import kitti_raw as kr  # noqa: E402
 
@@ -52,7 +55,7 @@ def export_kitti(depth_split: str, mode: str, use_velo_depth: bool = False,
     save(save_file, depth=np.array(depths, dtype=object), K=np.array(Ks))
 
 
-if __name__ == '__main__':
+def main():
     parser = ArgumentParser('Export KITTI target depths as npz.')
     parser.add_argument('--split', required=True,
                         choices={'eigen', 'eigen_benchmark', 'eigen_zhou'})
@@ -68,3 +71,7 @@ if __name__ == '__main__':
         args.save_stem = f'targets_{args.mode}'
     export_kitti(args.split, args.mode, args.use_velo_depth, args.save_stem,
                  args.overwrite)
+
+
+if __name__ == '__main__':
+    main()
