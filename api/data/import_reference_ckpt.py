@@ -20,7 +20,10 @@ from pathlib import Path
 
 import jax.numpy as jnp
 
-sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+try:
+    import slowtv_monodepth_tpu  # noqa: F401
+except ImportError:  # raw checkout without `pip install -e .`
+    sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
 
 from slowtv_monodepth_tpu.core.checkpoint import save_checkpoint  # noqa: E402
 from slowtv_monodepth_tpu.core.trainer import TrainState  # noqa: E402
@@ -39,9 +42,13 @@ def import_ckpt(ckpt_file: Path, out_dir: Path) -> Path:
     return out
 
 
-if __name__ == '__main__':
+def main():
     parser = ArgumentParser('Import a reference Lightning checkpoint.')
     parser.add_argument('ckpt', type=Path)
     parser.add_argument('--out', type=Path, required=True)
     args = parser.parse_args()
     import_ckpt(args.ckpt, args.out)
+
+
+if __name__ == '__main__':
+    main()

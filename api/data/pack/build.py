@@ -20,7 +20,10 @@ from pathlib import Path
 
 import numpy as np
 
-sys.path.insert(0, str(Path(__file__).resolve().parents[3]))
+try:
+    import slowtv_monodepth_tpu  # noqa: F401
+except ImportError:  # raw checkout without `pip install -e .`
+    sys.path.insert(0, str(Path(__file__).resolve().parents[3]))
 
 from slowtv_monodepth_tpu.databases import (  # noqa: E402
     write_image_database, write_label_database)
@@ -123,7 +126,7 @@ BUILDERS = {'slow_tv': build_slow_tv, 'mannequin': build_mannequin, 'kitti': bui
 OUT_KEYS = {'slow_tv': 'slow_tv_lmdb', 'mannequin': 'mannequin_lmdb', 'kitti': 'kitti_raw_lmdb'}
 
 
-if __name__ == '__main__':
+def main():
     parser = ArgumentParser('Build pack record stores from raw dataset trees.')
     parser.add_argument('dataset', choices=sorted(BUILDERS))
     parser.add_argument('--mode', default='train', help='(mannequin only)')
@@ -139,3 +142,7 @@ if __name__ == '__main__':
     else:
         BUILDERS[args.dataset](out)
     print(f'Done -> {out}')
+
+
+if __name__ == '__main__':
+    main()

@@ -20,7 +20,10 @@ from typing import Sequence
 import cv2
 import numpy as np
 
-sys.path.insert(0, str(Path(__file__).resolve().parents[3]))
+try:
+    import slowtv_monodepth_tpu  # noqa: F401
+except ImportError:  # raw checkout without `pip install -e .`
+    sys.path.insert(0, str(Path(__file__).resolve().parents[3]))
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402

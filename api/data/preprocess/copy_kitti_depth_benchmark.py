@@ -9,7 +9,10 @@ import sys
 from argparse import ArgumentParser
 from pathlib import Path
 
-sys.path.insert(0, str(Path(__file__).resolve().parents[3]))
+try:
+    import slowtv_monodepth_tpu  # noqa: F401
+except ImportError:  # raw checkout without `pip install -e .`
+    sys.path.insert(0, str(Path(__file__).resolve().parents[3]))
 
 from slowtv_monodepth_tpu.data.devkits import kitti_raw as kr  # noqa: E402
 from slowtv_monodepth_tpu.paths import DATA_PATHS  # noqa: E402

@@ -14,13 +14,19 @@ from pathlib import Path
 import numpy as np
 import yaml
 
-sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+try:
+    import slowtv_monodepth_tpu  # noqa: F401
+except ImportError:  # raw checkout without `pip install -e .`
+    sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
 
 from slowtv_monodepth_tpu import LOGGER, parsers  # noqa: E402
 from slowtv_monodepth_tpu.config import load_yaml  # noqa: E402
 from slowtv_monodepth_tpu.eval import MonoDepthEvaluator  # noqa: E402
 
-from export_preds import compute_preds  # noqa: E402
+try:
+    from api.eval.export_preds import compute_preds  # noqa: E402
+except ImportError:  # direct `python api/eval/eval_depth.py` invocation
+    from export_preds import compute_preds  # noqa: E402
 
 
 def save_metrics(file: Path, metrics: dict) -> None:
@@ -50,7 +56,7 @@ def compute_eval_metrics(preds: np.ndarray, cfg_file: Path, align_mode,
                                               max_items=max_items)
 
 
-if __name__ == '__main__':
+def main():
     parser = ArgumentParser()
     parser.add_argument('--align-mode', default='lsqr', type=str)
     parser.add_argument('--cfg-file', required=True, type=Path)
@@ -81,3 +87,7 @@ if __name__ == '__main__':
         preds, args.cfg_file, args.align_mode, args.nproc, args.max_items)
     if args.save_file:
         save_metrics(args.save_file, mean_metrics)
+
+
+if __name__ == '__main__':
+    main()

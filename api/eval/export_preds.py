@@ -13,7 +13,10 @@ from pathlib import Path
 
 import numpy as np
 
-sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+try:
+    import slowtv_monodepth_tpu  # noqa: F401
+except ImportError:  # raw checkout without `pip install -e .`
+    sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
 
 from slowtv_monodepth_tpu import LOGGER, PRED_REG, parsers, trigger_preds  # noqa: E402
 from slowtv_monodepth_tpu.config import load_yaml  # noqa: E402
@@ -60,7 +63,7 @@ def compute_preds(cfg: dict, ckpt: str, cfg_model=None, overwrite: bool = False,
     return predictor(net, dl, use_stereo_blend=False)
 
 
-if __name__ == '__main__':
+def main():
     parser = ArgumentParser(description='Export network predictions on a target dataset.')
     parser.add_argument('--cfg-file', required=True, type=Path)
     parser.add_argument('--ckpt', required=True, type=str)
@@ -78,3 +81,7 @@ if __name__ == '__main__':
     preds = compute_preds(cfg, args.ckpt, args.cfg_model, args.overwrite)
     if args.save_file:
         save_preds(args.save_file, preds)
+
+
+if __name__ == '__main__':
+    main()

@@ -15,7 +15,10 @@ from pathlib import Path
 import cv2
 import numpy as np
 
-sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+try:
+    import slowtv_monodepth_tpu  # noqa: F401
+except ImportError:  # raw checkout without `pip install -e .`
+    sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
 
 from slowtv_monodepth_tpu import LOGGER, PRED_REG, parsers, trigger_preds  # noqa: E402
 from slowtv_monodepth_tpu.data import DataLoader  # noqa: E402
@@ -88,7 +91,7 @@ def compute_preds(name: str, cfg: dict, ckpt: str, cfg_model=None,
         pool.join()
 
 
-if __name__ == '__main__':
+def main():
     parser = ArgumentParser()
     parser.add_argument('--ckpt', required=True, type=str)
     parser.add_argument('--name', type=str, required=True)
@@ -101,3 +104,7 @@ if __name__ == '__main__':
     cfg = dict(type='mapfree', mode=args.mode, depth_src=args.depth_src,
                datum='image depth')
     compute_preds(args.name, cfg, args.ckpt, cfg_model=args.cfg_model)
+
+
+if __name__ == '__main__':
+    main()

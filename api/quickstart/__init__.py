@@ -1,0 +1,1 @@
+"""CLI script tree (reference api/ layout; see pyproject entry points)."""

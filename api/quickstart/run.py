@@ -18,7 +18,10 @@ from pathlib import Path
 import numpy as np
 from PIL import Image
 
-sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+try:
+    import slowtv_monodepth_tpu  # noqa: F401
+except ImportError:  # raw checkout without `pip install -e .`
+    sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
@@ -83,7 +86,7 @@ def main(args):
             save_disp(np.asarray(disp), file, args.out_dir, args.out_ext)
 
 
-if __name__ == '__main__':
+def cli():
     parser = ArgumentParser('Run KBR predictions on a directory of images.')
     parser.add_argument('--ckpt-file', type=Path, required=True)
     parser.add_argument('--img-dir', type=Path, required=True)
@@ -93,3 +96,7 @@ if __name__ == '__main__':
     parser.add_argument('--width', type=int, default=640)
     parser.add_argument('--height', type=int, default=384)
     main(parser.parse_args())
+
+
+if __name__ == '__main__':
+    cli()
