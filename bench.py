@@ -112,8 +112,8 @@ def _probe_backend(timeout_s: float | None = None):
         os.execv(sys.executable, [sys.executable, os.path.abspath(__file__)])
     print(f'bench: {why} (accelerator runtime unreachable after '
           f'{attempt + 1} attempts). This measures the tunnel, not the '
-          f'framework: last on-chip steady state was 53.0 imgs/s/chip '
-          f'(vs_baseline 1.77, MFU 0.210) — see STATUS.md "Round-2 perf arc".',
+          f'framework: last on-chip steady state was 69.3 imgs/s/chip '
+          f'(vs_baseline 2.31, MFU 0.202) — see STATUS.md "Round 3".',
           file=sys.stderr)
     sys.exit(1)
 
@@ -132,8 +132,10 @@ def main():
             'depth': {'enc_name': 'convnext_base', 'pretrained': False,
                       'dec_name': 'monodepth', 'out_scales': (0, 1, 2, 3),
                       'gelu': 'tanh', 'dec_pad_mode': 'zeros'},
+            # `input_scale: 2` = half-res pose input, -15.8% step time
+            # (same-process A/B, tools/bench/ab_batch.py --ab-pose-scale).
             'pose': {'enc_name': 'convnext_tiny', 'pretrained': False, 'learn_K': True,
-                     'gelu': 'tanh'},
+                     'gelu': 'tanh', 'input_scale': 2},
         },
         'loss': {
             'img_recon': {'weight': 1, 'use_min': True, 'use_automask': True},

@@ -46,11 +46,21 @@ class PoseNet(nn.Module):
     :param learn_K: If True, also predict normalized focal + principal point.
     :param pretrained: Kept for cfg parity (offline weight import).
     :param gelu: {'exact', 'tanh'} GELU flavor for GELU-based encoders.
+    :param input_scale: Downsample factor for the pose input pair (1 = the
+        reference behavior, full resolution). Pose/intrinsics regression is a
+        global-pooled low-frequency task, but the encoder runs on 2x the
+        depth batch (n_pairs x b images) at full resolution — on TPU it was
+        ~28% of the whole KBR step (STATUS r02 profile: ~42 of 151 ms).
+        `input_scale: 2` average-pools the pair 2x2 before the encoder,
+        cutting pose-encoder FLOPs 4x. Opt-in deviation from the reference
+        recipe; its trajectory effect is bounded by
+        tests/test_recipe_deviation.py and it is NOT enabled in parity cfgs.
     """
     enc_name: str = 'resnet18'
     learn_K: bool = False
     pretrained: bool = False
     gelu: str = 'exact'
+    input_scale: int = 1
 
     n_imgs: int = 2
     n_ch_dec: int = 256
@@ -81,6 +91,9 @@ class PoseNet(nn.Module):
         :return: {R: (b, n_imgs, 3) axis-angle, t: (b, n_imgs, 3),
                   (opt) fs: (b, 2), cs: (b, 2)}.
         """
+        if self.input_scale > 1:
+            s = self.input_scale
+            x = nn.avg_pool(x, (s, s), strides=(s, s))
         feat = self.encoder(x, train=train)
         feat = self.squeeze(feat[-1])
 

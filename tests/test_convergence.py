@@ -109,9 +109,9 @@ def render_plane_scene(seed: int, b: int = 2, tx: float = 0.03):
     return imgs, supp, depth, K, T
 
 
-def _abs_rel(trainer, state, x, depth_gt) -> float:
+def _abs_rel(trainer, state, x, depth_gt, supp_idxs=(0,)) -> float:
     """Median-aligned AbsRel of the scale-0 prediction vs GT."""
-    fwd, _ = trainer.forward(state.params, state.aux, x, (0,), train=False)
+    fwd, _ = trainer.forward(state.params, state.aux, x, supp_idxs, train=False)
     depth = trainer.to_depth(fwd['disp'][0])
     depth = np.asarray(depth, np.float64)
     gt = np.asarray(depth_gt, np.float64)
@@ -169,3 +169,109 @@ if __name__ == '__main__':
     e0, e, ls = test_stereo_training_recovers_true_depth()
     print(f'AbsRel: init {e0:.4f} -> final {e:.4f}')
     print('loss trajectory:', ' '.join(f'{v:.4f}' for v in ls))
+
+
+# --------------------------------------------------------------- pose variant
+def render_motion_scene(seed: int, b: int = 2, txs=(0.03, -0.03)):
+    """Target + n translated support views (camera moving along x), for
+    training WITH a pose net: same analytic plane/texture machinery as
+    `render_plane_scene`, but the transforms are for the pose net to learn,
+    not given as T_stereo."""
+    rng = np.random.default_rng(seed)
+    u, v = np.meshgrid(np.arange(W, dtype=np.float64),
+                       np.arange(H, dtype=np.float64))
+    rx = (u - 0.5 * W) / FX
+    ry = (v - 0.5 * H) / FY
+
+    imgs, supps, depths = [], [[] for _ in txs], []
+    for _ in range(b):
+        z0 = rng.uniform(0.45, 0.55)
+        gx = rng.choice([-1, 1]) * rng.uniform(0.4, 0.6)
+        gy = rng.choice([-1, 1]) * rng.uniform(0.25, 0.4)
+        phases = rng.uniform(0, 2 * np.pi, (3, 6))
+        ts = 2.5 / z0
+
+        zt = z0 / (1.0 - gx * rx - gy * ry)
+        imgs.append(_texture(ts * zt * rx, ts * zt * ry, phases))
+        depths.append(zt)
+
+        for j, tx in enumerate(txs):
+            lam = (z0 - gx * tx) / (1.0 - gx * rx - gy * ry)
+            supps[j].append(_texture(ts * (lam * rx - tx), ts * lam * ry, phases))
+
+    imgs = jnp.asarray(np.stack(imgs), jnp.float32)
+    supp = jnp.asarray(np.stack([np.stack(s) for s in supps]), jnp.float32)
+    depth = jnp.asarray(np.stack(depths), jnp.float32)[..., None]
+    K = jnp.broadcast_to(jnp.array(
+        [[FX, 0, 0.5 * W, 0], [0, FY, 0.5 * H, 0],
+         [0, 0, 1, 0], [0, 0, 0, 1.0]], jnp.float32), (b, 4, 4))
+    return imgs, supp, depth, K
+
+
+def _run_pose_training(input_scale: int, n_steps: int = 400):
+    imgs, supp, depth_gt, K = render_motion_scene(seed=3)
+    x = {'imgs': imgs, 'supp_imgs': supp}
+    y = {'imgs': imgs, 'supp_imgs': supp, 'K': K}
+
+    cfg = {
+        'net': {
+            'depth': {'enc_name': 'resnet18', 'pretrained': False,
+                      'dec_name': 'monodepth', 'out_scales': [0, 1, 2, 3]},
+            'pose': {'enc_name': 'resnet18', 'pretrained': False,
+                     'input_scale': input_scale},
+        },
+        'loss': {
+            'img_recon': {'weight': 1, 'use_min': True, 'use_automask': False},
+            'disp_smooth': {'weight': 0.001, 'use_edges': True},
+        },
+        'optimizer': {'type': 'adamw', 'lr': 5e-4, 'weight_decay': 1e-3},
+        'trainer': {'min_depth': 0.1, 'max_depth': 100, 'always_fwd_pose': False},
+    }
+    supp_idxs = (-1, 1)
+    trainer = MonoDepthTrainer(cfg)
+    tx = parsers.make_optimizer(cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0), x, supp_idxs, tx)
+    step = make_train_step(trainer, supp_idxs, tx, donate=False)
+
+    err0 = _abs_rel(trainer, state, x, depth_gt, supp_idxs)
+    loss0 = loss = None
+    for i in range(n_steps):
+        state, scalars = step(state, x, y, jax.random.PRNGKey(i))
+        loss = float(scalars['loss'])
+        if loss0 is None:
+            loss0 = loss
+    return err0, _abs_rel(trainer, state, x, depth_gt, supp_idxs), loss0, loss
+
+
+@pytest.mark.slow
+def test_pose_training_halfres_equivalence():
+    """Endpoint-quality evidence for the tpu recipe's `pose.input_scale: 2`
+    (half-res pose input, cfg/kbr/tpu.yaml): on a rendered moving-camera
+    scene, joint depth+pose training must recover true depth (median-aligned
+    AbsRel) COMPARABLY with full-res and half-res pose inputs. Trajectory
+    matching is the wrong instrument for this knob (structural change ->
+    chaotic near-init divergence, see test_recipe_deviation.py); what must
+    hold is that the learned geometry ends up equally good.
+    """
+    err0_full, err_full, loss0_full, loss_full = _run_pose_training(1)
+    err0_half, err_half, loss0_half, loss_half = _run_pose_training(2)
+    print(f'pose full-res: AbsRel {err0_full:.3f} -> {err_full:.3f} '
+          f'(loss {loss0_full:.3f} -> {loss_full:.3f})')
+    print(f'pose half-res: AbsRel {err0_half:.3f} -> {err_half:.3f} '
+          f'(loss {loss0_half:.3f} -> {loss_half:.3f})')
+
+    # The claim under test is that HALF-RES pose does not break joint
+    # learning. It must converge outright...
+    assert err_half < 0.10, \
+        f'half-res pose did not converge: AbsRel {err0_half:.3f} -> {err_half:.3f}'
+    assert err_half < 0.65 * err0_half, \
+        f'half-res pose no real improvement: {err0_half:.3f} -> {err_half:.3f}'
+    assert loss_half < 0.3 * loss0_half, \
+        f'half-res pose loss stuck: {loss0_half:.3f} -> {loss_half:.3f}'
+    # ...and be no worse than the full-res reference behavior. (Full-res's
+    # own toy-scale convergence is NOT asserted: at 400 steps from scratch
+    # it is marginal — measured run: full 0.157 -> 0.151 stuck, half
+    # 0.157 -> 0.073 converged. The knob can only be accused of degrading
+    # training if it does worse than its baseline, which this pins.)
+    assert err_half <= err_full + 0.02, \
+        f'half-res pose degraded convergence: full {err_full:.3f} vs half {err_half:.3f}'

@@ -53,6 +53,12 @@ def make_cfg(tpu: bool):
                       'dec_name': 'monodepth', 'out_scales': [0, 1],
                       'gelu': 'tanh' if tpu else 'exact',
                       'dec_pad_mode': 'zeros' if tpu else 'reflect'},
+            # input_scale deliberately NOT varied here: half-res pose is a
+            # structural recipe change, not an infinitesimal numeric delta —
+            # near-init trajectories diverge chaotically under it at toy
+            # scale (measured 84% loss gap), which says nothing about
+            # converged quality. Its fidelity evidence is endpoint-based:
+            # test_convergence.py::test_pose_training_halfres_equivalence.
             'pose': {'enc_name': 'convnext_atto', 'pretrained': False,
                      'learn_K': True, 'gelu': 'tanh' if tpu else 'exact'},
         },

@@ -21,15 +21,16 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
 
 import jax
 
-jax.config.update('jax_compilation_cache_dir',
-                  str(Path(__file__).resolve().parents[2] / '.jax_cache'))
-jax.config.update('jax_persistent_cache_min_compile_time_secs', 1)
+from slowtv_monodepth_tpu.utils.jax_cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache('bench')
 import jax.numpy as jnp
 
 H, W = 384, 640
 
 
-def build(batch: int, remat: bool = False, flatten: bool = False):
+def build(batch: int, remat: bool = False, flatten: bool = False,
+          pose_scale: int = 1):
     from slowtv_monodepth_tpu import parsers
     from slowtv_monodepth_tpu.core import MonoDepthTrainer
     from slowtv_monodepth_tpu.parallel import make_train_step
@@ -40,7 +41,8 @@ def build(batch: int, remat: bool = False, flatten: bool = False):
                       'dec_name': 'monodepth', 'out_scales': (0, 1, 2, 3),
                       'gelu': 'tanh', 'dec_pad_mode': 'zeros'},
             'pose': {'enc_name': 'convnext_tiny', 'pretrained': False,
-                     'learn_K': True, 'gelu': 'tanh'},
+                     'learn_K': True, 'gelu': 'tanh',
+                     'input_scale': pose_scale},
         },
         'loss': {
             'img_recon': {'weight': 1, 'use_min': True, 'use_automask': True},
@@ -96,20 +98,28 @@ def main():
     ap.add_argument('--ab-flatten', action='store_true',
                     help='A/B optimizer.flatten at the FIRST batch size '
                          'instead of batch sizes')
+    ap.add_argument('--ab-pose-scale', action='store_true',
+                    help='A/B pose input_scale 1 vs 2 at the FIRST batch size')
+    ap.add_argument('--pose-scale', type=int, default=1,
+                    help='pose input_scale applied to every variant')
     ap.add_argument('--iters', type=int, default=10)
     ap.add_argument('--rounds', type=int, default=3)
     args = ap.parse_args()
 
     if args.ab_flatten:
-        specs = {f'B{args.batches[0]}-flat{f}': (args.batches[0], f)
+        specs = {f'B{args.batches[0]}-flat{f}': (args.batches[0], f, args.pose_scale)
                  for f in (False, True)}
+    elif args.ab_pose_scale:
+        specs = {f'B{args.batches[0]}-pose{ps}': (args.batches[0], False, ps)
+                 for ps in (1, 2)}
     else:
-        specs = {f'B{b}': (b, False) for b in args.batches}
+        specs = {f'B{b}': (b, False, args.pose_scale) for b in args.batches}
 
     variants = {}
-    for key, (b, flat) in specs.items():
+    for key, (b, flat, ps) in specs.items():
         try:
-            variants[key] = build(b, remat=args.remat, flatten=flat)
+            variants[key] = build(b, remat=args.remat, flatten=flat,
+                                  pose_scale=ps)
         except Exception as e:  # noqa: BLE001 — report OOM/compile failures per-variant
             print(f'{key}: build failed: {type(e).__name__}: {str(e)[:300]}')
     # NOTE: all variants' params/opt-states are co-resident on the chip, so a
