@@ -41,7 +41,7 @@ def capture(batch: int, steps: int, warp_bf16: bool = False) -> None:
                       'dec_name': 'monodepth', 'out_scales': (0, 1, 2, 3),
                       'gelu': 'tanh', 'dec_pad_mode': 'zeros'},
             'pose': {'enc_name': 'convnext_tiny', 'pretrained': False,
-                     'learn_K': True, 'gelu': 'tanh'},
+                     'learn_K': True, 'gelu': 'tanh', 'input_scale': 2},
         },
         'loss': {
             'img_recon': {'weight': 1, 'use_min': True, 'use_automask': True},
