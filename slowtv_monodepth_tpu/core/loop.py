@@ -111,6 +111,10 @@ class MonoDepthLoop:
         self.monitor = tcfg.get('monitor', 'AbsRel')
         self.grad_clip = tcfg.get('gradient_clip_val')
         self.accumulate = tcfg.get('accumulate_grad_batches', 1) or 1
+        # ZeRO stage for the carried state on a mesh (`parallel/zero.py`):
+        # 0 = replicated DDP (reference-equivalent), 1 = shard optimizer
+        # state, 3 = shard optimizer state + master params (FSDP-style).
+        self.zero = int(tcfg.get('zero', 0) or 0)
         # jax.profiler trace capture (SURVEY §5.1's TPU-native tracing):
         # set `trainer.profile_dir` to dump a TensorBoard-viewable trace of
         # steps [5, 5 + profile_steps) from the first epoch.
@@ -174,7 +178,7 @@ class MonoDepthLoop:
             # Donate the state: params/opt-state update in place in HBM.
             self._steps[key] = make_train_step(
                 self.trainer, tuple(supp_idxs), self.tx, mesh=self.mesh,
-                train=train, donate=train)
+                train=train, donate=train, zero=self.zero)
         return self._steps[key]
 
     def _init_state(self, batch) -> None:
@@ -210,12 +214,17 @@ class MonoDepthLoop:
                 LOGGER.info(f'Resumed from {last} @ epoch {self.start_epoch}')
 
         if self.mesh is not None:
-            # Replicate BEFORE the first step: the step's jit cache keys on
+            # Place BEFORE the first step: the step's jit cache keys on
             # input shardings, so a single-device state would compile the
             # whole step twice (once for the host-placed state, once for the
-            # mesh-replicated state it returns).
-            from ..parallel import replicated
-            self.state = jax.device_put(self.state, replicated(self.mesh))
+            # mesh-placed state it returns). ZeRO stages shard the opt state
+            # (and params at stage 3) here instead of replicating.
+            if self.zero:
+                from ..parallel import shard_state
+                self.state = shard_state(self.mesh, self.state, self.zero)
+            else:
+                from ..parallel import replicated
+                self.state = jax.device_put(self.state, replicated(self.mesh))
 
     def _place(self, x: dict, y: dict):
         """Host numpy batch -> device (sharded over the mesh when present).

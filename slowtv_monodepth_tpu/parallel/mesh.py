@@ -82,13 +82,18 @@ def unreplicate(tree):
 
 
 def make_train_step(trainer, supp_idxs: tuple, tx, mesh: Optional[Mesh] = None,
-                    train: bool = True, axis: str = 'data', donate: bool = True):
+                    train: bool = True, axis: str = 'data', donate: bool = True,
+                    zero: int = 0):
     """Compile the trainer's step function, optionally sharded over `mesh`.
 
     :param trainer: `core.MonoDepthTrainer`.
     :param supp_idxs: Static support-frame indices (fixed per dataset).
     :param tx: optax transformation (ignored when `train=False`).
     :param mesh: Device mesh; `None` compiles single-device.
+    :param zero: ZeRO stage for the carried state (`parallel.zero`): 0 =
+        replicate params+opt (plain DDP), 1 = shard opt state over `axis`,
+        3 = shard opt state + params. Place the state with
+        `zero.shard_state(mesh, state, zero)` before the first call.
     :return: step(state, x, y, rng) -> (state, scalars) jitted.
     """
     step = trainer.make_step_fn(tuple(supp_idxs), tx, train=train)
@@ -98,13 +103,19 @@ def make_train_step(trainer, supp_idxs: tuple, tx, mesh: Optional[Mesh] = None,
     repl = replicated(mesh)
 
     def sharded_step(state, x, y, rng):
-        # Constrain inputs: batch over devices, state replicated. XLA derives
-        # the grad all-reduce over ICI from these shardings.
+        # Constrain inputs: batch over devices, state per the ZeRO stage
+        # (zero=0: everything replicated). XLA derives the collectives over
+        # ICI from these shardings: grad all-reduce at zero=0, grad
+        # reduce-scatter + param all-gather at zero>=1.
         x = jax.lax.with_sharding_constraint(x, batch_sharding(mesh, x, axis))
         y = jax.lax.with_sharding_constraint(y, batch_sharding(mesh, y, axis))
         new_state, scalars = step(state, x, y, rng)
-        new_state = jax.lax.with_sharding_constraint(
-            new_state, jax.tree_util.tree_map(lambda _: repl, new_state))
+        if zero:
+            from .zero import state_shardings
+            out_sh = state_shardings(mesh, new_state, zero, axis)
+        else:
+            out_sh = jax.tree_util.tree_map(lambda _: repl, new_state)
+        new_state = jax.lax.with_sharding_constraint(new_state, out_sh)
         return new_state, scalars
 
     return jax.jit(sharded_step, donate_argnums=(0,) if (donate and train) else ())
