@@ -31,13 +31,23 @@ def save_preds(file: Path, preds: np.ndarray) -> None:
 
 
 def compute_preds(cfg: dict, ckpt: str, cfg_model=None, overwrite: bool = False,
-                  batch_size: int = 12, num_workers: int = 8) -> np.ndarray:
-    """Compute predictions for a dataset cfg + checkpoint (or external name)."""
+                  batch_size: int = 12, num_workers: int = 8,
+                  devices: int = 1) -> np.ndarray:
+    """Compute predictions for a dataset cfg + checkpoint (or external name).
+
+    :param devices: Shard prediction batches over this many local devices
+        (params replicate; beyond the reference's single-GPU eval). 1 keeps
+        the exact single-device path.
+    """
     trigger_preds()
     model_type = ckpt.split('.', maxsplit=1)[0]
     model_type = model_type if model_type in PRED_REG else 'ours'
 
-    predictor = PRED_REG[model_type]()
+    mesh = None
+    if devices and devices > 1:
+        from slowtv_monodepth_tpu.parallel import make_mesh
+        mesh = make_mesh(devices)
+    predictor = PRED_REG[model_type](mesh=mesh)
     if model_type == 'ours':
         ckpt_path = Path(ckpt) if Path(ckpt).exists() else find_model_file(ckpt)
         run_dir = ckpt_path.parent
@@ -70,6 +80,8 @@ def main():
     parser.add_argument('--cfg-model', default=None, nargs='*', type=Path)
     parser.add_argument('--save-file', default=None, type=Path)
     parser.add_argument('--overwrite', default=0, type=int)
+    parser.add_argument('--devices', default=1, type=int,
+                        help='Shard prediction batches over N local devices.')
     args = parser.parse_args()
 
     if args.save_file and args.save_file.is_file() and not args.overwrite:
@@ -78,7 +90,8 @@ def main():
         raise SystemExit(1)
 
     cfg = load_yaml(args.cfg_file)['dataset']
-    preds = compute_preds(cfg, args.ckpt, args.cfg_model, args.overwrite)
+    preds = compute_preds(cfg, args.ckpt, args.cfg_model, args.overwrite,
+                          devices=args.devices)
     if args.save_file:
         save_preds(args.save_file, preds)
 

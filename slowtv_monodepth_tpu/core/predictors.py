@@ -32,11 +32,40 @@ __all__ = ['MonoDepthPredictor', 'BenchmarkPredictor', 'MidasPredictor',
 
 
 class MonoDepthPredictor(ABC):
-    """Base predictor: preprocess -> forward -> postprocess over a loader."""
+    """Base predictor: preprocess -> forward -> postprocess over a loader.
+
+    :param mesh: Optional `jax.sharding.Mesh` — prediction batches shard over
+        its devices (params replicate), scaling dataset export ~linearly with
+        chip count. Partial final batches are edge-padded to a mesh multiple
+        and sliced back. The reference evaluates single-GPU only; `None`
+        keeps that exact single-device behavior.
+    """
+
+    def __init__(self, mesh=None):
+        self.mesh = mesh
 
     def __init_subclass__(cls, **kwargs):
         super().__init_subclass__(**kwargs)
         cls.logger = get_logger(cls.__qualname__)
+
+    def _place_variables(self, variables):
+        """Replicate model variables onto the mesh (no-op single-device)."""
+        if self.mesh is None:
+            return variables
+        from ..parallel import replicated
+        return jax.device_put(variables, replicated(self.mesh))
+
+    def _run_forward(self, net: Callable, imgs) -> jnp.ndarray:
+        """Host batch -> prediction, sharded over the mesh when present."""
+        if self.mesh is None:
+            return self.forward(net, jnp.asarray(imgs))
+        from ..parallel import shard_batch
+        imgs = np.asarray(imgs)
+        pad = (-len(imgs)) % self.mesh.devices.size
+        if pad:
+            imgs = np.concatenate([imgs, np.repeat(imgs[-1:], pad, axis=0)])
+        pred = self.forward(net, shard_batch(self.mesh, imgs))
+        return pred[:len(pred) - pad] if pad else pred
 
     @abstractmethod
     def load_model(self, *args, **kwargs):
@@ -59,9 +88,9 @@ class MonoDepthPredictor(ABC):
     def forward_batch(self, x: dict, net: Callable,
                       use_stereo_blend: bool = False) -> jnp.ndarray:
         imgs = self.preprocess(x['imgs'])
-        pred = self.forward(net, jnp.asarray(imgs))
+        pred = self._run_forward(net, imgs)
         if use_stereo_blend:
-            pred_flip = self.forward(net, jnp.asarray(imgs[:, :, ::-1]))
+            pred_flip = self._run_forward(net, np.asarray(imgs)[:, :, ::-1])
             pred = blend_stereo(pred, pred_flip[:, :, ::-1])
         return self.postprocess(pred, x['imgs'])
 
@@ -133,6 +162,7 @@ class BenchmarkPredictor(MonoDepthPredictor):
               for k, v in cfg['net']['depth'].items()}
         net = DepthNet(**kw)
         variables = {'params': state.params['depth'], **state.aux.get('depth', {})}
+        variables = self._place_variables(variables)
 
         @jax.jit
         def fwd(imgs):
@@ -181,7 +211,8 @@ class MidasPredictor(MonoDepthPredictor):
                 f'"<model_root>/{stem}.pt". Searched: {[str(f) for f in files]}')
 
         self.logger.info(f"Loading MiDaS weights from '{path}'...")
-        variables = convert_midas_dpt(load_midas_state_dict(path))
+        variables = self._place_variables(
+            convert_midas_dpt(load_midas_state_dict(path)))
         net = MidasDPT()
 
         @jax.jit
@@ -249,7 +280,8 @@ class NewcrfsPredictor(MonoDepthPredictor):
         if path is None:
             path = MODEL_PATHS[f'newcrfs_{scene_type}']
         self.logger.info(f"Loading NeWCRFs weights from '{path}'...")
-        variables = convert_newcrfs(load_newcrfs_state_dict(path))
+        variables = self._place_variables(
+            convert_newcrfs(load_newcrfs_state_dict(path)))
         net = NewCRFDepth(version='large07', max_depth=max_depth)
 
         @jax.jit

@@ -292,3 +292,22 @@ def test_train_dev_script(slowtv_root, tmp_path):
     cfg_file.write_text(yaml.safe_dump(cfg))
     _run_script(API / 'train' / 'train_dev.py',
                 ['-c', cfg_file, '--epochs', 1, '--batches', 2, '-s', 7])
+
+
+def test_export_preds_sharded_matches_single(syns_root, tmp_path):
+    """`--devices 8` shards prediction batches over the mesh (a capability the
+    reference's single-GPU eval lacks): output must match the single-device
+    path, including the partial final batch (2 images on an 8-device mesh ->
+    edge-pad to 8, slice back)."""
+    from api.eval.export_preds import compute_preds
+    from slowtv_monodepth_tpu.config import load_yaml
+
+    run_dir = _make_finished_run(tmp_path)
+    (run_dir / 'finished').touch()
+    cfg = load_yaml(REPO / 'cfg' / 'eval' / 'syns_test.yaml')['dataset']
+
+    p1 = compute_preds(dict(cfg), str(run_dir / 'last'), num_workers=0)
+    p8 = compute_preds(dict(cfg), str(run_dir / 'last'), num_workers=0,
+                       devices=8)
+    assert p8.shape == p1.shape == (2, 192, 640)
+    np.testing.assert_allclose(p8, p1, rtol=1e-5, atol=1e-6)
