@@ -37,6 +37,11 @@ class MonodepthDecoder(nn.Module):
     out_ch: int = 1
     out_act: Optional[str] = 'sigmoid'
     pad_mode: str = 'reflect'
+    # TPU recipe option (`net.depth.dec_phase_up`): compute each stage's
+    # upsample->conv as a phase-decomposed low-res conv (`ops/phase_up.py`,
+    # exact; 2.25x fewer MACs, no materialized up2 activation, 4x MXU
+    # output-lane utilization). Same param tree — checkpoints interchange.
+    phase_up: bool = False
 
     num_ch_dec: Sequence[int] = (16, 32, 64, 128, 256)
 
@@ -67,16 +72,32 @@ class MonodepthDecoder(nn.Module):
                 continue
 
             x = ConvBlock(self.num_ch_dec[i], pad_mode=self.pad_mode, name=f'upconv_{i}_0')(x)
-            x = [upsample2x(x, self.upsample_mode)]
-            if has_skip:
-                x += [feat[list(self.enc_sc).index(sf)]]
-
-            x = jnp.concatenate(x, axis=-1)
-            x = ConvBlock(self.num_ch_dec[i], pad_mode=self.pad_mode, name=f'upconv_{i}_1')(x)
+            skip = feat[list(self.enc_sc).index(sf)] if has_skip else None
+            if self._use_phase_up():
+                # up2 + conv as one phase-decomposed low-res conv (exact;
+                # `ops/phase_up.py`). Params come from the unfused path's
+                # init, so the tree is identical and checkpoints interchange.
+                from ...ops.phase_up import phase_upconv3x3
+                from .utils import _resolve_pad
+                p = self.get_variable('params', f'upconv_{i}_1')['conv']['conv']
+                x = nn.elu(phase_upconv3x3(
+                    x, skip, p['kernel'].astype(x.dtype),
+                    p['bias'].astype(x.dtype), _resolve_pad(self.pad_mode)))
+            else:
+                x = [upsample2x(x, self.upsample_mode)]
+                if has_skip:
+                    x += [skip]
+                x = jnp.concatenate(x, axis=-1)
+                x = ConvBlock(self.num_ch_dec[i], pad_mode=self.pad_mode, name=f'upconv_{i}_1')(x)
 
             if i in self.out_sc:
                 out[i] = act(conv3x3(self.out_ch, pad_mode=self.pad_mode, name=f'outconv_{i}')(x))
         return out
+
+    def _use_phase_up(self) -> bool:
+        """Init always takes the unfused path so the param tree is canonical."""
+        return (self.phase_up and not self.is_initializing()
+                and self.upsample_mode == 'nearest')
 
     def _use_fused_stage(self, x: jnp.ndarray, i: int, has_skip: bool) -> bool:
         """Fused-kernel dispatch for one decoder stage (TPU apply only).

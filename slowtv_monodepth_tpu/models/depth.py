@@ -49,6 +49,9 @@ class DepthNet(nn.Module):
     use_stereo_blend: bool = False
     gelu: str = 'exact'
     dec_pad_mode: str = 'reflect'
+    # TPU recipe: phase-decomposed upsample->conv decoder stages (exact
+    # transform, same checkpoints; `ops/phase_up.py`). Monodepth decoder only.
+    dec_phase_up: bool = False
 
     @property
     def out_sc(self) -> Sequence[int]:
@@ -67,18 +70,21 @@ class DepthNet(nn.Module):
         self.encoder, self.num_ch_enc, self.enc_sc = create_encoder(
             self.enc_name, gelu=self.gelu)
         cls = DEC_REG[self.dec_name]
+        extra = {'phase_up': True} if (
+            self.dec_phase_up and self.dec_name == 'monodepth') else {}
         self.decoder_disp = cls(
             num_ch_enc=self.num_ch_enc, enc_sc=self.enc_sc,
             upsample_mode='nearest', use_skip=True,
             out_sc=self.out_sc, out_ch=1 + (2 * self.use_virtual_stereo),
-            out_act='sigmoid', pad_mode=self.dec_pad_mode, name='decoders_disp')
+            out_act='sigmoid', pad_mode=self.dec_pad_mode,
+            name='decoders_disp', **extra)
         if self.mask_name:
             self.decoder_mask = cls(
                 num_ch_enc=self.num_ch_enc, enc_sc=self.enc_sc,
                 upsample_mode='nearest', use_skip=True,
                 out_sc=self.out_sc, out_ch=self.num_ch_mask,
                 out_act=MASKS[self.mask_name], pad_mode=self.dec_pad_mode,
-                name='decoders_mask')
+                name='decoders_mask', **extra)
 
     def _forward(self, x: jnp.ndarray, train: bool) -> dict:
         out = {}

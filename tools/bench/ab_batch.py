@@ -30,7 +30,7 @@ H, W = 384, 640
 
 
 def build(batch: int, remat: bool = False, flatten: bool = False,
-          pose_scale: int = 1):
+          pose_scale: int = 1, phase_up: bool = False):
     from slowtv_monodepth_tpu import parsers
     from slowtv_monodepth_tpu.core import MonoDepthTrainer
     from slowtv_monodepth_tpu.parallel import make_train_step
@@ -39,7 +39,8 @@ def build(batch: int, remat: bool = False, flatten: bool = False,
         'net': {
             'depth': {'enc_name': 'convnext_base', 'pretrained': False,
                       'dec_name': 'monodepth', 'out_scales': (0, 1, 2, 3),
-                      'gelu': 'tanh', 'dec_pad_mode': 'zeros'},
+                      'gelu': 'tanh', 'dec_pad_mode': 'zeros',
+                      **({'dec_phase_up': True} if phase_up else {})},
             'pose': {'enc_name': 'convnext_tiny', 'pretrained': False,
                      'learn_K': True, 'gelu': 'tanh',
                      'input_scale': pose_scale},
@@ -100,6 +101,8 @@ def main():
                          'instead of batch sizes')
     ap.add_argument('--ab-pose-scale', action='store_true',
                     help='A/B pose input_scale 1 vs 2 at the FIRST batch size')
+    ap.add_argument('--ab-phase-up', action='store_true',
+                    help='A/B dec_phase_up off vs on at the FIRST batch size')
     ap.add_argument('--pose-scale', type=int, default=1,
                     help='pose input_scale applied to every variant')
     ap.add_argument('--iters', type=int, default=10)
@@ -107,19 +110,23 @@ def main():
     args = ap.parse_args()
 
     if args.ab_flatten:
-        specs = {f'B{args.batches[0]}-flat{f}': (args.batches[0], f, args.pose_scale)
+        specs = {f'B{args.batches[0]}-flat{f}': (args.batches[0], f, args.pose_scale, False)
                  for f in (False, True)}
     elif args.ab_pose_scale:
-        specs = {f'B{args.batches[0]}-pose{ps}': (args.batches[0], False, ps)
+        specs = {f'B{args.batches[0]}-pose{ps}': (args.batches[0], False, ps, False)
                  for ps in (1, 2)}
+    elif args.ab_phase_up:
+        specs = {f'B{args.batches[0]}-phase{pu}': (args.batches[0], False,
+                                                   args.pose_scale, pu)
+                 for pu in (False, True)}
     else:
-        specs = {f'B{b}': (b, False, args.pose_scale) for b in args.batches}
+        specs = {f'B{b}': (b, False, args.pose_scale, False) for b in args.batches}
 
     variants = {}
-    for key, (b, flat, ps) in specs.items():
+    for key, (b, flat, ps, pu) in specs.items():
         try:
             variants[key] = build(b, remat=args.remat, flatten=flat,
-                                  pose_scale=ps)
+                                  pose_scale=ps, phase_up=pu)
         except Exception as e:  # noqa: BLE001 — report OOM/compile failures per-variant
             print(f'{key}: build failed: {type(e).__name__}: {str(e)[:300]}')
     # NOTE: all variants' params/opt-states are co-resident on the chip, so a
