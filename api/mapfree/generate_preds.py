@@ -61,12 +61,16 @@ def process_batch_preds(batch, preds: np.ndarray, name: str, pool: Pool) -> None
 
 
 def compute_preds(name: str, cfg: dict, ckpt: str, cfg_model=None,
-                  overwrite: bool = False) -> None:
+                  overwrite: bool = False, devices: int = 1) -> None:
     trigger_preds()
     model_type = ckpt.split('.', maxsplit=1)[0]
     model_type = model_type if model_type in PRED_REG else 'ours'
 
-    predictor = PRED_REG[model_type]()
+    mesh = None
+    if devices and devices > 1:  # Shard prediction batches over local chips.
+        from slowtv_monodepth_tpu.parallel import make_mesh
+        mesh = make_mesh(devices)
+    predictor = PRED_REG[model_type](mesh=mesh)
     if model_type == 'ours':
         ckpt_path = Path(ckpt) if Path(ckpt).exists() else find_model_file(ckpt)
         if not (ckpt_path.parent / 'finished').is_file() and not overwrite:
@@ -99,11 +103,14 @@ def main():
     parser.add_argument('--depth-src', type=str, default='dptkitti',
                         choices={'dptkitti', 'dptnyud'})
     parser.add_argument('--cfg-model', default=None, nargs='*', type=Path)
+    parser.add_argument('--devices', default=1, type=int,
+                        help='Shard prediction batches over N local devices.')
     args = parser.parse_args()
 
     cfg = dict(type='mapfree', mode=args.mode, depth_src=args.depth_src,
                datum='image depth')
-    compute_preds(args.name, cfg, args.ckpt, cfg_model=args.cfg_model)
+    compute_preds(args.name, cfg, args.ckpt, cfg_model=args.cfg_model,
+                  devices=args.devices)
 
 
 if __name__ == '__main__':
