@@ -146,3 +146,23 @@ class TestZeroLayout:
         state, _ = _run(zero=3, n_steps=1)
         assert self._sharded_frac(state.params) > 0.8
         assert self._sharded_frac(state.opt_state) > 0.8
+
+
+def test_zero_checkpoint_roundtrip(tmp_path):
+    """Sharded (zero=3) live state -> save -> restore into a sharded
+    template: values equal, committed shard layout preserved."""
+    from slowtv_monodepth_tpu.core.checkpoint import load_checkpoint, save_checkpoint
+
+    state, _ = _run(zero=3, n_steps=1, opt={'type': 'sgd', 'lr': 1e-3,
+                                            'momentum': 0.9})
+    save_checkpoint(tmp_path / 'ck', state, {'cfg': 'x'}, epoch=0)
+
+    restored, meta = load_checkpoint(tmp_path / 'ck', state)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)),
+        jax.device_get(state.params), jax.device_get(restored.params))
+    big = max(jax.tree_util.tree_leaves(restored.opt_state),
+              key=lambda l: l.size)
+    assert big.addressable_shards[0].data.size * 8 == big.size, \
+        'restored opt state lost its sharding'
