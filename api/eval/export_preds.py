@@ -32,12 +32,15 @@ def save_preds(file: Path, preds: np.ndarray) -> None:
 
 def compute_preds(cfg: dict, ckpt: str, cfg_model=None, overwrite: bool = False,
                   batch_size: int = 12, num_workers: int = 8,
-                  devices: int = 1) -> np.ndarray:
+                  devices: int = 1, model_shards: int = 1) -> np.ndarray:
     """Compute predictions for a dataset cfg + checkpoint (or external name).
 
-    :param devices: Shard prediction batches over this many local devices
-        (params replicate; beyond the reference's single-GPU eval). 1 keeps
-        the exact single-device path.
+    :param devices: Shard prediction work over this many local devices
+        (beyond the reference's single-GPU eval). 1 keeps the exact
+        single-device path.
+    :param model_shards: Tensor-shard the network weights over this many of
+        the `devices` (must divide it; `parallel/tp.py`). Batches shard over
+        the remaining `devices / model_shards` data shards.
     """
     trigger_preds()
     model_type = ckpt.split('.', maxsplit=1)[0]
@@ -46,7 +49,14 @@ def compute_preds(cfg: dict, ckpt: str, cfg_model=None, overwrite: bool = False,
     mesh = None
     if devices and devices > 1:
         from slowtv_monodepth_tpu.parallel import make_mesh
-        mesh = make_mesh(devices)
+        if model_shards and model_shards > 1:
+            if devices % model_shards:
+                raise ValueError(f'--model-shards {model_shards} must divide '
+                                 f'--devices {devices}.')
+            mesh = make_mesh((devices // model_shards, model_shards),
+                             ('data', 'model'))
+        else:
+            mesh = make_mesh(devices)
     predictor = PRED_REG[model_type](mesh=mesh)
     if model_type == 'ours':
         ckpt_path = Path(ckpt) if Path(ckpt).exists() else find_model_file(ckpt)
@@ -82,6 +92,10 @@ def main():
     parser.add_argument('--overwrite', default=0, type=int)
     parser.add_argument('--devices', default=1, type=int,
                         help='Shard prediction batches over N local devices.')
+    parser.add_argument('--model-shards', default=1, type=int,
+                        help='Tensor-shard the network over M of the N devices '
+                             '(M must divide N; Megatron-style TP for trunks '
+                             'too big to replicate).')
     args = parser.parse_args()
 
     if args.save_file and args.save_file.is_file() and not args.overwrite:
@@ -91,7 +105,7 @@ def main():
 
     cfg = load_yaml(args.cfg_file)['dataset']
     preds = compute_preds(cfg, args.ckpt, args.cfg_model, args.overwrite,
-                          devices=args.devices)
+                          devices=args.devices, model_shards=args.model_shards)
     if args.save_file:
         save_preds(args.save_file, preds)
 

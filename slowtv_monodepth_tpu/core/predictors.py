@@ -35,10 +35,13 @@ class MonoDepthPredictor(ABC):
     """Base predictor: preprocess -> forward -> postprocess over a loader.
 
     :param mesh: Optional `jax.sharding.Mesh` — prediction batches shard over
-        its devices (params replicate), scaling dataset export ~linearly with
-        chip count. Partial final batches are edge-padded to a mesh multiple
-        and sliced back. The reference evaluates single-GPU only; `None`
-        keeps that exact single-device behavior.
+        its `data` axis (single-axis meshes shard over that axis), scaling
+        dataset export ~linearly with chip count. A mesh with a `model` axis
+        additionally tensor-shards the network weights (`parallel/tp.py`) for
+        encoders too big to replicate per chip at eval resolution. Partial
+        final batches are edge-padded to a mesh multiple and sliced back. The
+        reference evaluates single-GPU only; `None` keeps that exact
+        single-device behavior.
     """
 
     def __init__(self, mesh=None):
@@ -48,10 +51,21 @@ class MonoDepthPredictor(ABC):
         super().__init_subclass__(**kwargs)
         cls.logger = get_logger(cls.__qualname__)
 
+    @property
+    def _data_shards(self) -> int:
+        """Batch-axis shard count: the `data` axis (whole mesh if unnamed)."""
+        if 'data' in self.mesh.axis_names:
+            return int(self.mesh.shape['data'])
+        return int(self.mesh.devices.size)
+
     def _place_variables(self, variables):
-        """Replicate model variables onto the mesh (no-op single-device)."""
+        """Place model variables onto the mesh: replicated, or tensor-sharded
+        over a `model` mesh axis when one is present (no-op single-device)."""
         if self.mesh is None:
             return variables
+        if 'model' in self.mesh.axis_names and self.mesh.shape['model'] > 1:
+            from ..parallel import shard_variables_tp
+            return shard_variables_tp(self.mesh, variables)
         from ..parallel import replicated
         return jax.device_put(variables, replicated(self.mesh))
 
@@ -61,10 +75,11 @@ class MonoDepthPredictor(ABC):
             return self.forward(net, jnp.asarray(imgs))
         from ..parallel import shard_batch
         imgs = np.asarray(imgs)
-        pad = (-len(imgs)) % self.mesh.devices.size
+        axis = 'data' if 'data' in self.mesh.axis_names else self.mesh.axis_names[0]
+        pad = (-len(imgs)) % self._data_shards
         if pad:
             imgs = np.concatenate([imgs, np.repeat(imgs[-1:], pad, axis=0)])
-        pred = self.forward(net, shard_batch(self.mesh, imgs))
+        pred = self.forward(net, shard_batch(self.mesh, imgs, axis=axis))
         return pred[:len(pred) - pad] if pad else pred
 
     @abstractmethod

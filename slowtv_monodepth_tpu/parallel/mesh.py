@@ -30,24 +30,36 @@ __all__ = ['make_mesh', 'replicated', 'batch_sharding', 'shard_batch',
            'make_train_step', 'unreplicate']
 
 
-def make_mesh(n_devices: Optional[int] = None, axis: str = 'data',
+def make_mesh(n_devices=None, axis='data',
               platform: Optional[str] = None) -> Mesh:
-    """1-D data-parallel mesh over the first `n_devices` devices.
+    """Device mesh over the first devices of a backend.
 
+    :param n_devices: `int` (or None = all) for a 1-D mesh, or a shape tuple
+        for an N-D mesh — e.g. `make_mesh((2, 4), ('data', 'model'))` for
+        2-way data x 4-way tensor parallelism (`parallel/tp.py`).
+    :param axis: Axis name, or a name tuple matching a shape-tuple `n_devices`.
     :param platform: Backend to take devices from ('cpu', 'tpu', None=default).
         When the default backend has fewer than `n_devices`, falls back to the
         host CPU devices (the `--xla_force_host_platform_device_count` pool) —
         the standard recipe for validating shardings without real chips.
     """
-    devs = jax.devices(platform)
-    if n_devices is not None and len(devs) < n_devices and platform is None:
-        devs = jax.devices('cpu')
-    if n_devices is not None:
-        if len(devs) < n_devices:
-            raise ValueError(f'Need {n_devices} devices, have {len(devs)} '
-                             f'({devs[0].platform}).')
-        devs = devs[:n_devices]
     import numpy as np
+    shape = tuple(n_devices) if isinstance(n_devices, (tuple, list)) else None
+    want = int(np.prod(shape)) if shape else n_devices
+    devs = jax.devices(platform)
+    if want is not None and len(devs) < want and platform is None:
+        devs = jax.devices('cpu')
+    if want is not None:
+        if len(devs) < want:
+            raise ValueError(f'Need {want} devices, have {len(devs)} '
+                             f'({devs[0].platform}).')
+        devs = devs[:want]
+    if shape:
+        axes = tuple(axis) if isinstance(axis, (tuple, list)) else None
+        if not axes or len(axes) != len(shape):
+            raise ValueError(f'Mesh shape {shape} needs one axis name per '
+                             f'dim, got {axis!r}.')
+        return Mesh(np.asarray(devs).reshape(shape), axes)
     return Mesh(np.asarray(devs), (axis,))
 
 

@@ -311,3 +311,15 @@ def test_export_preds_sharded_matches_single(syns_root, tmp_path):
                        devices=8)
     assert p8.shape == p1.shape == (2, 192, 640)
     np.testing.assert_allclose(p8, p1, rtol=1e-5, atol=1e-6)
+
+    # 2-D (data x model) mesh: batches shard over 2 data shards, weights
+    # place under the tensor-parallel rules (`parallel/tp.py`; a ConvNeXt
+    # depth net has no TP-matched leaves, so they replicate — the point here
+    # is the full CLI path over the 2-D mesh, incl. the partial batch).
+    p24 = compute_preds(dict(cfg), str(run_dir / 'last'), num_workers=0,
+                        devices=8, model_shards=4)
+    np.testing.assert_allclose(p24, p1, rtol=1e-5, atol=1e-6)
+
+    with pytest.raises(ValueError, match='must divide'):
+        compute_preds(dict(cfg), str(run_dir / 'last'), num_workers=0,
+                      devices=8, model_shards=3)
