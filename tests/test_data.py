@@ -336,3 +336,38 @@ class TestColorJiggle:
         np.testing.assert_allclose(adjust_saturation(img, 1.0), img, atol=1e-6)
         np.testing.assert_allclose(adjust_hue(img, 0.0), img, atol=1e-5)
         np.testing.assert_allclose(adjust_hue(adjust_hue(img, 0.3), -0.3), img, atol=1e-5)
+
+
+class TestPlayCli:
+    """`python -m slowtv_monodepth_tpu.data.play` — the registry-wide
+    equivalent of the reference's per-file `__main__` -> `.play()` visual
+    smoke blocks (ref `src/datasets/kitti_raw.py:201-207`, SURVEY.md §4)."""
+
+    def _run(self, argv, monkeypatch):
+        import slowtv_monodepth_tpu.data.play as play
+        monkeypatch.setattr('sys.argv', ['play'] + argv)
+        play.main()
+
+    def test_unknown_type_exits_with_listing(self, monkeypatch):
+        with pytest.raises(SystemExit, match='nope_ds'):
+            self._run(['nope_ds'], monkeypatch)
+
+    def test_plays_registered_dataset_with_kw(self, monkeypatch):
+        from slowtv_monodepth_tpu import DATA_REG
+        calls = {}
+
+        class _FakeDs:
+            def __init__(self, mode, **kw):
+                calls['init'] = (mode, kw)
+
+            def __len__(self):
+                return 3
+
+            def play(self, fps, skip, reverse):
+                calls['play'] = (fps, skip, reverse)
+
+        monkeypatch.setitem(DATA_REG, 'fake_ds', _FakeDs)
+        self._run(['fake_ds', '--mode', 'val', '--kw', '{shape: [32, 64]}',
+                   '--fps', '2', '--skip', '5', '--reverse'], monkeypatch)
+        assert calls['init'] == ('val', {'shape': [32, 64]})
+        assert calls['play'] == (2.0, 5, True)
