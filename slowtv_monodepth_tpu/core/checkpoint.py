@@ -9,46 +9,101 @@ the arrays so a checkpoint alone can rebuild the network (what enables
 
 Layout: `<ckpt_dir>/{best,last}/` orbax PyTree + `<ckpt_dir>/{best,last}.yaml`
 holding {cfg, step, epoch, monitor}.
+
+Async saves (`CheckpointManager(async_save=True)` / `trainer.async_ckpt`):
+the save snapshots the state with on-device copies (~ms; the copies are NOT
+part of the state the donated train step mutates, so later steps can't
+invalidate them) and runs the device->host fetch + orbax write on a
+background thread — training continues through the multi-hundred-MB save.
+Ordering is preserved (a new save waits for the previous one) and errors
+re-raise at the next save or at `finalize()`.
 """
 from __future__ import annotations
 
 import shutil
+import threading
 from pathlib import Path
-from typing import Any, Optional
+from typing import Any, Callable, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import yaml
 
 from .. import LOGGER
 from .trainer import TrainState
 
-__all__ = ['save_checkpoint', 'load_checkpoint', 'CheckpointManager', 'get_latest_ckpt']
+__all__ = ['save_checkpoint', 'load_checkpoint', 'CheckpointManager',
+           'get_latest_ckpt', 'AsyncSaver']
 
 
 def _tree_to_numpy(tree):
     return jax.tree_util.tree_map(lambda v: np.asarray(v), tree)
 
 
-def save_checkpoint(path, state: TrainState, cfg: dict, epoch: int = 0,
-                    monitor: Optional[float] = None) -> None:
-    """Save {params, aux, opt_state, step} + cfg metadata to `path`."""
+class AsyncSaver:
+    """One-slot background writer: at most one save in flight; `submit` joins
+    the previous save first, `wait` re-raises any background failure."""
+
+    def __init__(self):
+        self._thread: Optional[threading.Thread] = None
+        self._exc: Optional[BaseException] = None
+
+    def wait(self) -> None:
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._exc is not None:
+            exc, self._exc = self._exc, None
+            raise exc
+
+    def submit(self, fn: Callable[[], None]) -> None:
+        self.wait()
+
+        def run():
+            try:
+                fn()
+            except BaseException as e:  # noqa: BLE001 — surfaced on next wait()
+                self._exc = e
+
+        self._thread = threading.Thread(target=run, daemon=True,
+                                        name='ckpt-saver')
+        self._thread.start()
+
+
+def _write_checkpoint(path: Path, tree: dict, cfg: dict, epoch: int,
+                      step: int, monitor: Optional[float]) -> None:
     import orbax.checkpoint as ocp
-    path = Path(path).absolute()
     if path.exists():
         shutil.rmtree(path)
-
     with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(path, {
-            'params': _tree_to_numpy(state.params),
-            'aux': _tree_to_numpy(state.aux),
-            'opt_state': _tree_to_numpy(state.opt_state),
-            'step': int(state.step),
-        })
-    meta = {'cfg': cfg, 'epoch': int(epoch), 'step': int(state.step),
+        ckptr.save(path, jax.tree_util.tree_map(lambda v: np.asarray(v), tree))
+    meta = {'cfg': cfg, 'epoch': int(epoch), 'step': int(step),
             'monitor': None if monitor is None else float(monitor)}
     with open(path.with_suffix('.yaml'), 'w') as f:
         yaml.safe_dump(meta, f)
+
+
+def save_checkpoint(path, state: TrainState, cfg: dict, epoch: int = 0,
+                    monitor: Optional[float] = None,
+                    saver: Optional[AsyncSaver] = None) -> None:
+    """Save {params, aux, opt_state, step} + cfg metadata to `path`.
+
+    :param saver: When given, snapshot the state with on-device copies and
+        return immediately; the fetch + write happen on `saver`'s thread.
+    """
+    path = Path(path).absolute()
+    step = int(state.step)
+    tree = {'params': state.params, 'aux': state.aux,
+            'opt_state': state.opt_state, 'step': step}
+    if saver is None:
+        _write_checkpoint(path, tree, cfg, epoch, step, monitor)
+        return
+    # Donation-safe snapshot: jnp.copy allocates fresh device buffers that no
+    # jitted step holds, so the background fetch can't race a donated update.
+    snap = jax.tree_util.tree_map(
+        lambda v: jnp.copy(v) if isinstance(v, jax.Array) else v, tree)
+    saver.submit(lambda: _write_checkpoint(path, snap, cfg, epoch, step, monitor))
 
 
 def load_checkpoint(path, state: Optional[TrainState] = None):
@@ -95,14 +150,18 @@ class CheckpointManager:
     :param ckpt_dir: Run checkpoint directory.
     :param monitor: Metric name to track for `best` (e.g. 'AbsRel', 'loss').
     :param mode: 'min'/'max'/None; None infers max iff 'Acc' in the name.
+    :param async_save: Overlap fetch + write with training (see module doc);
+        call `finalize()` before reading the files or ending the run.
     """
 
-    def __init__(self, ckpt_dir, monitor: str = 'loss', mode: Optional[str] = None):
+    def __init__(self, ckpt_dir, monitor: str = 'loss', mode: Optional[str] = None,
+                 async_save: bool = False):
         self.ckpt_dir = Path(ckpt_dir)
         self.ckpt_dir.mkdir(parents=True, exist_ok=True)
         self.monitor = monitor
         self.mode = mode or ('max' if 'Acc' in monitor else 'min')
         self.best: Optional[float] = None
+        self.saver = AsyncSaver() if async_save else None
 
     def is_better(self, value: float) -> bool:
         if self.best is None:
@@ -113,12 +172,18 @@ class CheckpointManager:
              metrics: dict) -> None:
         """End-of-epoch hook: always refresh `last`, update `best` on improvement."""
         save_checkpoint(self.ckpt_dir / 'last', state, cfg, epoch,
-                        metrics.get(self.monitor))
+                        metrics.get(self.monitor), saver=self.saver)
         value = metrics.get(self.monitor)
         if value is not None and self.is_better(float(value)):
             self.best = float(value)
             LOGGER.info(f'New best {self.monitor}={self.best:.4f} @ epoch {epoch}')
-            save_checkpoint(self.ckpt_dir / 'best', state, cfg, epoch, self.best)
+            save_checkpoint(self.ckpt_dir / 'best', state, cfg, epoch, self.best,
+                            saver=self.saver)
+
+    def finalize(self) -> None:
+        """Drain any in-flight async save (no-op when synchronous)."""
+        if self.saver is not None:
+            self.saver.wait()
 
     def restore_best_value(self) -> None:
         """Recover the tracked best value after a resume."""

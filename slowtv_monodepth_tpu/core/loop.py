@@ -160,7 +160,8 @@ class MonoDepthLoop:
         self.is_main = is_main_process()
         if not self.is_main:
             self.writer = None
-        self.ckpt = CheckpointManager(self.ckpt_dir, monitor=self.monitor)
+        self.ckpt = CheckpointManager(self.ckpt_dir, monitor=self.monitor,
+                                      async_save=bool(tcfg.get('async_ckpt')))
         self.manager = TrainingManager(self.ckpt_dir) if (use_markers and self.is_main) else None
 
         self._steps: dict = {}  # (supp_idxs, train) -> jitted step fn.
@@ -301,9 +302,14 @@ class MonoDepthLoop:
                     LOGGER.info(f'Early stopping at epoch {epoch}.')
                     break
             self._swa_finalize()
+            self.ckpt.finalize()  # Drain any in-flight async save.
             if self.manager:
                 self.manager.on_fit_end()
         except BaseException:
+            try:
+                self.ckpt.finalize()
+            except Exception:  # noqa: BLE001 — don't mask the original error.
+                LOGGER.exception('Async checkpoint save failed during cleanup.')
             if self.manager:
                 self.manager.cleanup()
             raise

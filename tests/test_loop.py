@@ -130,6 +130,66 @@ class TestCheckpoint:
         b = jax.tree_util.tree_leaves(state2.params)[0]
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
+    def test_async_save_is_donation_safe(self, tmp_path):
+        """An async save must snapshot the state BEFORE later (donating) train
+        steps invalidate its buffers: clobber the live params with a donated
+        jit update right after submitting, then check the written checkpoint
+        holds the pre-update values."""
+        import jax
+        import jax.numpy as jnp
+        from slowtv_monodepth_tpu.core import MonoDepthTrainer
+        from slowtv_monodepth_tpu.core.checkpoint import AsyncSaver
+        from slowtv_monodepth_tpu import parsers
+        cfg = make_cfg()
+        trainer = MonoDepthTrainer(cfg)
+        tx = parsers.make_optimizer(cfg)
+        x = {'imgs': jnp.zeros((1, 32, 64, 3))}
+        state = trainer.init_state(jax.random.PRNGKey(0), x, (-1, 1), tx)
+        before = [np.asarray(v) for v in jax.tree_util.tree_leaves(state.params)]
+
+        saver = AsyncSaver()
+        save_checkpoint(tmp_path / 'ck', state, cfg, epoch=1, saver=saver)
+        bump = jax.jit(
+            lambda t: jax.tree_util.tree_map(lambda v: v + 1.0, t),
+            donate_argnums=0)
+        _ = bump(state.params)  # Donates (invalidates) the live buffers.
+        saver.wait()
+
+        tree = load_checkpoint(tmp_path / 'ck')[0]
+        after = [np.asarray(v) for v in jax.tree_util.tree_leaves(tree.params)]
+        assert len(before) == len(after)
+        for a, b in zip(before, after):
+            np.testing.assert_array_equal(a, b)
+
+    def test_async_manager_orders_saves_and_finalizes(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+        from slowtv_monodepth_tpu.core import MonoDepthTrainer
+        from slowtv_monodepth_tpu.core.checkpoint import CheckpointManager
+        from slowtv_monodepth_tpu import parsers
+        cfg = make_cfg()
+        trainer = MonoDepthTrainer(cfg)
+        tx = parsers.make_optimizer(cfg)
+        x = {'imgs': jnp.zeros((1, 32, 64, 3))}
+        state = trainer.init_state(jax.random.PRNGKey(0), x, (-1, 1), tx)
+
+        mgr = CheckpointManager(tmp_path, monitor='loss', async_save=True)
+        mgr.step(state, cfg, epoch=0, metrics={'loss': 2.0})  # last + best
+        mgr.step(state, cfg, epoch=1, metrics={'loss': 1.0})  # improves best
+        mgr.finalize()
+        for name, epoch in (('last', 1), ('best', 1)):
+            st, meta = load_checkpoint(tmp_path / name, state)
+            assert meta['epoch'] == epoch, name
+        assert mgr.best == 1.0
+
+    def test_async_saver_error_surfaces_on_wait(self):
+        from slowtv_monodepth_tpu.core.checkpoint import AsyncSaver
+        saver = AsyncSaver()
+        saver.submit(lambda: (_ for _ in ()).throw(RuntimeError('disk full')))
+        with pytest.raises(RuntimeError, match='disk full'):
+            saver.wait()
+        saver.wait()  # The error is consumed; the saver is reusable.
+
 
 class TestCallbacks:
     def test_early_stopping(self, slowtv_root, tmp_path):

@@ -1,0 +1,115 @@
+"""Inference (serving) throughput of the flagship depth net on the real chip.
+
+The training step is covered by `bench.py`; this measures the eval-side
+forward that `export_preds` / `quickstart` drive (ref
+`src/core/predictors.py:116-147`): DepthNet ConvNeXt-B + Monodepth decoder at
+the KITTI/SYNS eval shape (batch 12 @ 192x640, the `export_preds` default),
+sigmoid-disparity output fetched to host per batch.
+
+Variants:
+- `exact-f32`: the bit-faithful eval recipe imported reference checkpoints
+  run under (reflect decoder pad, exact GELU, f32).
+- `tpu-bf16`: the tpu.yaml training flavor (tanh GELU, zero pad, bf16 fwd).
+- `*-blend`: + horizontal-flip stereo blending (2 forwards + merge, ref
+  `predictors.py:93-94` semantics) as used by the benchmark eval recipes.
+
+Same-process interleaved timing, best-of-rounds (cross-session wall clock
+drifts ~15% on the axon tunnel — see STATUS.md measurement lessons).
+
+Usage:
+    python tools/bench/bench_infer.py [--batch 12] [--iters 20] [--rounds 3]
+"""
+from __future__ import annotations
+
+import sys
+import time
+from argparse import ArgumentParser
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+
+import jax
+
+from slowtv_monodepth_tpu.utils.jax_cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache('bench')
+import jax.numpy as jnp
+
+H, W = 192, 640
+
+
+def build(batch: int, flavor: str, blend: bool):
+    from slowtv_monodepth_tpu.models import DepthNet
+    from slowtv_monodepth_tpu.ops import blend_stereo
+
+    kw = dict(enc_name='convnext_base', pretrained=False,
+              dec_name='monodepth', out_scales=(0, 1, 2, 3))
+    if flavor == 'tpu-bf16':
+        kw.update(gelu='tanh', dec_pad_mode='zeros')
+    net = DepthNet(**kw)
+    imgs = jax.random.uniform(jax.random.PRNGKey(0), (batch, H, W, 3))
+    variables = net.init(jax.random.PRNGKey(1), imgs, train=False)
+    if flavor == 'tpu-bf16':
+        variables = jax.tree_util.tree_map(
+            lambda v: v.astype(jnp.bfloat16) if v.dtype == jnp.float32 else v,
+            variables)
+        imgs = imgs.astype(jnp.bfloat16)
+
+    def fwd(v, x):
+        d = net.apply(v, x, train=False)['disp'][0].astype(jnp.float32)
+        if blend:
+            df = net.apply(v, x[:, :, ::-1], train=False)['disp'][0]
+            d = blend_stereo(d, df[:, :, ::-1].astype(jnp.float32))
+        return d
+
+    compiled = jax.jit(fwd).lower(variables, imgs).compile()
+    return compiled, variables, imgs
+
+
+def timed(compiled, variables, imgs, iters: int) -> float:
+    """Pipelined honest host-fetch timing (bench.py pattern)."""
+    out = None
+    for _ in range(3):
+        out = compiled(variables, imgs)
+    float(out[0, 0, 0, 0])
+    t0 = time.perf_counter()
+    prev = None
+    for _ in range(iters):
+        out = compiled(variables, imgs)
+        if prev is not None:
+            float(prev[0, 0, 0, 0])
+        prev = out
+    float(prev[0, 0, 0, 0])
+    return (time.perf_counter() - t0) / iters * 1000
+
+
+def main():
+    ap = ArgumentParser()
+    ap.add_argument('--batch', type=int, default=12)
+    ap.add_argument('--iters', type=int, default=20)
+    ap.add_argument('--rounds', type=int, default=3)
+    ap.add_argument('--blend', action='store_true',
+                    help='also time flip-blend variants')
+    args = ap.parse_args()
+
+    specs = [('exact-f32', False), ('tpu-bf16', False)]
+    if args.blend:
+        specs += [('exact-f32-blend', True), ('tpu-bf16-blend', True)]
+
+    variants = {}
+    for name, blend in specs:
+        flavor = name.replace('-blend', '')
+        variants[name] = build(args.batch, flavor, blend)
+
+    best = {k: float('inf') for k in variants}
+    for _ in range(args.rounds):
+        for key, v in variants.items():
+            best[key] = min(best[key], timed(*v, args.iters))
+
+    for key, ms in best.items():
+        print(f'{key}: {ms:.1f} ms/batch{args.batch} '
+              f'= {args.batch / ms * 1000:.1f} imgs/s')
+
+
+if __name__ == '__main__':
+    main()
