@@ -32,7 +32,8 @@ def save_preds(file: Path, preds: np.ndarray) -> None:
 
 def compute_preds(cfg: dict, ckpt: str, cfg_model=None, overwrite: bool = False,
                   batch_size: int = 12, num_workers: int = 8,
-                  devices: int = 1, model_shards: int = 1) -> np.ndarray:
+                  devices: int = 1, model_shards: int = 1,
+                  spatial_shards: int = 1) -> np.ndarray:
     """Compute predictions for a dataset cfg + checkpoint (or external name).
 
     :param devices: Shard prediction work over this many local devices
@@ -41,6 +42,10 @@ def compute_preds(cfg: dict, ckpt: str, cfg_model=None, overwrite: bool = False,
     :param model_shards: Tensor-shard the network weights over this many of
         the `devices` (must divide it; `parallel/tp.py`). Batches shard over
         the remaining `devices / model_shards` data shards.
+    :param spatial_shards: Shard the image HEIGHT over this many of the
+        `devices` (`parallel/spatial.py` — XLA derives conv halo exchanges),
+        for eval resolutions whose activations exceed one chip. Composable
+        with `model_shards`: devices = data x spatial x model.
     """
     trigger_preds()
     model_type = ckpt.split('.', maxsplit=1)[0]
@@ -49,12 +54,20 @@ def compute_preds(cfg: dict, ckpt: str, cfg_model=None, overwrite: bool = False,
     mesh = None
     if devices and devices > 1:
         from slowtv_monodepth_tpu.parallel import make_mesh
-        if model_shards and model_shards > 1:
-            if devices % model_shards:
-                raise ValueError(f'--model-shards {model_shards} must divide '
-                                 f'--devices {devices}.')
-            mesh = make_mesh((devices // model_shards, model_shards),
-                             ('data', 'model'))
+        shards = {'spatial': max(spatial_shards or 1, 1),
+                  'model': max(model_shards or 1, 1)}
+        special = shards['spatial'] * shards['model']
+        if devices % special:
+            raise ValueError(f'--spatial-shards x --model-shards ({special}) '
+                             f'must divide --devices {devices}.')
+        if special > 1:
+            shape = [devices // special]
+            names = ['data']
+            for ax in ('spatial', 'model'):
+                if shards[ax] > 1:
+                    shape.append(shards[ax])
+                    names.append(ax)
+            mesh = make_mesh(tuple(shape), tuple(names))
         else:
             mesh = make_mesh(devices)
     predictor = PRED_REG[model_type](mesh=mesh)
@@ -96,6 +109,10 @@ def main():
                         help='Tensor-shard the network over M of the N devices '
                              '(M must divide N; Megatron-style TP for trunks '
                              'too big to replicate).')
+    parser.add_argument('--spatial-shards', default=1, type=int,
+                        help='Shard the image height over S of the N devices '
+                             '(conv halo exchange; for eval resolutions whose '
+                             'activations exceed one chip).')
     args = parser.parse_args()
 
     if args.save_file and args.save_file.is_file() and not args.overwrite:
@@ -105,7 +122,8 @@ def main():
 
     cfg = load_yaml(args.cfg_file)['dataset']
     preds = compute_preds(cfg, args.ckpt, args.cfg_model, args.overwrite,
-                          devices=args.devices, model_shards=args.model_shards)
+                          devices=args.devices, model_shards=args.model_shards,
+                          spatial_shards=args.spatial_shards)
     if args.save_file:
         save_preds(args.save_file, preds)
 

@@ -31,6 +31,22 @@ __all__ = ['MonoDepthPredictor', 'BenchmarkPredictor', 'MidasPredictor',
            'NewcrfsPredictor']
 
 
+def arg_jitted_forward(net, variables) -> Callable:
+    """Jit `net.apply(variables, imgs, train=False)` with the variables passed
+    as a runtime ARGUMENT, returning an `imgs -> outputs` callable.
+
+    Closing over the (possibly mesh-placed) variables would embed them as
+    compile-time constants; under SPMD partitioning XLA folds and lays out
+    constants per-partition and the forward reassociates — measured 2e-2-class
+    drift on a random-init DepthNet over a spatial mesh, vs 2e-5 when the
+    variables arrive as an argument (`tests/test_spatial.py`). Arguments also
+    keep their committed shardings (replicated or tensor-sharded,
+    `parallel/tp.py`) without re-placement per call.
+    """
+    jfwd = jax.jit(lambda v, imgs: net.apply(v, imgs, train=False))
+    return lambda imgs: jfwd(variables, imgs)
+
+
 class MonoDepthPredictor(ABC):
     """Base predictor: preprocess -> forward -> postprocess over a loader.
 
@@ -38,10 +54,13 @@ class MonoDepthPredictor(ABC):
         its `data` axis (single-axis meshes shard over that axis), scaling
         dataset export ~linearly with chip count. A mesh with a `model` axis
         additionally tensor-shards the network weights (`parallel/tp.py`) for
-        encoders too big to replicate per chip at eval resolution. Partial
-        final batches are edge-padded to a mesh multiple and sliced back. The
-        reference evaluates single-GPU only; `None` keeps that exact
-        single-device behavior.
+        encoders too big to replicate per chip at eval resolution; a mesh
+        with a `spatial` axis shards the image HEIGHT over it
+        (`parallel/spatial.py` — XLA partitions the convs with halo
+        exchanges), for resolutions whose activations don't fit one chip.
+        Partial final batches are edge-padded to a mesh multiple and sliced
+        back. The reference evaluates single-GPU only; `None` keeps that
+        exact single-device behavior.
     """
 
     def __init__(self, mesh=None):
@@ -52,11 +71,21 @@ class MonoDepthPredictor(ABC):
         cls.logger = get_logger(cls.__qualname__)
 
     @property
+    def _batch_axis(self) -> Optional[str]:
+        """Mesh axis the batch dim shards over: `data`, or the sole axis of a
+        1-D mesh when it isn't a special (`model`/`spatial`) axis."""
+        names = self.mesh.axis_names
+        if 'data' in names:
+            return 'data'
+        if len(names) == 1 and names[0] not in ('model', 'spatial'):
+            return names[0]
+        return None
+
+    @property
     def _data_shards(self) -> int:
-        """Batch-axis shard count: the `data` axis (whole mesh if unnamed)."""
-        if 'data' in self.mesh.axis_names:
-            return int(self.mesh.shape['data'])
-        return int(self.mesh.devices.size)
+        """Batch-axis shard count (1 for model/spatial-only meshes)."""
+        axis = self._batch_axis
+        return int(self.mesh.shape[axis]) if axis else 1
 
     def _place_variables(self, variables):
         """Place model variables onto the mesh: replicated, or tensor-sharded
@@ -73,13 +102,14 @@ class MonoDepthPredictor(ABC):
         """Host batch -> prediction, sharded over the mesh when present."""
         if self.mesh is None:
             return self.forward(net, jnp.asarray(imgs))
-        from ..parallel import shard_batch
+        from ..parallel import shard_batch_spatial
         imgs = np.asarray(imgs)
-        axis = 'data' if 'data' in self.mesh.axis_names else self.mesh.axis_names[0]
         pad = (-len(imgs)) % self._data_shards
         if pad:
             imgs = np.concatenate([imgs, np.repeat(imgs[-1:], pad, axis=0)])
-        pred = self.forward(net, shard_batch(self.mesh, imgs, axis=axis))
+        placed = shard_batch_spatial(self.mesh, imgs,
+                                     data_axis=self._batch_axis or 'data')
+        pred = self.forward(net, placed)
         return pred[:len(pred) - pad] if pad else pred
 
     @abstractmethod
@@ -178,12 +208,7 @@ class BenchmarkPredictor(MonoDepthPredictor):
         net = DepthNet(**kw)
         variables = {'params': state.params['depth'], **state.aux.get('depth', {})}
         variables = self._place_variables(variables)
-
-        @jax.jit
-        def fwd(imgs):
-            return net.apply(variables, imgs, train=False)
-
-        return fwd
+        return arg_jitted_forward(net, variables)
 
     def forward(self, net: Callable, imgs: jnp.ndarray) -> jnp.ndarray:
         return net(imgs)['disp'][0]
@@ -228,13 +253,7 @@ class MidasPredictor(MonoDepthPredictor):
         self.logger.info(f"Loading MiDaS weights from '{path}'...")
         variables = self._place_variables(
             convert_midas_dpt(load_midas_state_dict(path)))
-        net = MidasDPT()
-
-        @jax.jit
-        def fwd(imgs):
-            return net.apply(variables, imgs, train=False)
-
-        return fwd
+        return arg_jitted_forward(MidasDPT(), variables)
 
     def preprocess(self, imgs: np.ndarray) -> np.ndarray:
         """MiDaS normalization: undo ImageNet standardization, renorm with
@@ -297,13 +316,8 @@ class NewcrfsPredictor(MonoDepthPredictor):
         self.logger.info(f"Loading NeWCRFs weights from '{path}'...")
         variables = self._place_variables(
             convert_newcrfs(load_newcrfs_state_dict(path)))
-        net = NewCRFDepth(version='large07', max_depth=max_depth)
-
-        @jax.jit
-        def fwd(imgs):
-            return net.apply(variables, imgs, train=False)
-
-        return fwd
+        return arg_jitted_forward(
+            NewCRFDepth(version='large07', max_depth=max_depth), variables)
 
     def postprocess(self, pred: jnp.ndarray, imgs: np.ndarray) -> jnp.ndarray:
         """NeWCRFs predicts metric depth; convert to disparity (ref `:242-249`)."""

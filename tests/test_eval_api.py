@@ -320,6 +320,23 @@ def test_export_preds_sharded_matches_single(syns_root, tmp_path):
                         devices=8, model_shards=4)
     np.testing.assert_allclose(p24, p1, rtol=1e-5, atol=1e-6)
 
+    # (data x spatial) mesh: the 192-row eval images height-shard 4-ways
+    # (XLA halo-exchanges the conv overlaps; `parallel/spatial.py`). Slightly
+    # looser tolerance: the partitioned convs reassociate f32 reductions and
+    # this random-init net amplifies the noise through depth — a halo BUG
+    # would be O(1), far outside it.
+    p_sp = compute_preds(dict(cfg), str(run_dir / 'last'), num_workers=0,
+                         devices=8, spatial_shards=4)
+    np.testing.assert_allclose(p_sp, p1, rtol=5e-4, atol=1e-4)
+
+    # Full composition: data x spatial x model.
+    p_all = compute_preds(dict(cfg), str(run_dir / 'last'), num_workers=0,
+                          devices=8, spatial_shards=2, model_shards=2)
+    np.testing.assert_allclose(p_all, p1, rtol=5e-4, atol=1e-4)
+
     with pytest.raises(ValueError, match='must divide'):
         compute_preds(dict(cfg), str(run_dir / 'last'), num_workers=0,
                       devices=8, model_shards=3)
+    with pytest.raises(ValueError, match='must divide'):
+        compute_preds(dict(cfg), str(run_dir / 'last'), num_workers=0,
+                      devices=8, spatial_shards=4, model_shards=4)
