@@ -87,6 +87,12 @@ def main():
     parser.add_argument('--seed', '-s', default=42, type=int)
     parser.add_argument('--devices', '-g', default=None, type=int,
                         help='Devices in the data mesh (default: all).')
+    parser.add_argument('--spatial-shards', default=1, type=int,
+                        help='Shard image HEIGHTS over this many of the '
+                             'devices (activation sharding via conv halo '
+                             'exchange, for resolutions whose train step '
+                             'OOMs one chip; `parallel/spatial.py`). Must '
+                             'divide the device count.')
     args = parser.parse_args()
 
     LOGGER.info(f'Creating config from {[f.name for f in args.cfg_files]}...')
@@ -105,9 +111,18 @@ def main():
 
     initialize_distributed()  # No-op single host; joins TPU pods otherwise.
     import jax
-    mesh = make_mesh(args.devices) if (args.devices or len(jax.devices()) > 1) else None
-    if mesh is not None:
-        LOGGER.info(f'Data-parallel mesh over {mesh.devices.size} devices.')
+    n_dev = args.devices or len(jax.devices())
+    sp = max(args.spatial_shards or 1, 1)
+    if sp > 1:
+        if n_dev % sp:
+            raise SystemExit(f'--spatial-shards {sp} must divide the device '
+                             f'count {n_dev}.')
+        mesh = make_mesh((n_dev // sp, sp), ('data', 'spatial'))
+        LOGGER.info(f'Mesh: {n_dev // sp} data x {sp} spatial shards.')
+    else:
+        mesh = make_mesh(args.devices) if (args.devices or len(jax.devices()) > 1) else None
+        if mesh is not None:
+            LOGGER.info(f'Data-parallel mesh over {mesh.devices.size} devices.')
     shard_id, num_shards = process_info()
 
     loop = MonoDepthLoop(cfg, ckpt_dir=save_dir / 'models', mesh=mesh, writer=writer,

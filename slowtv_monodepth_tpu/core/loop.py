@@ -92,6 +92,11 @@ class MonoDepthLoop:
         self.cfg = cfg
         self.ckpt_dir = Path(ckpt_dir)
         self.mesh = mesh
+        # A mesh with a `spatial` axis additionally shards image HEIGHTS over
+        # it (`parallel/spatial.py`): the train step's activation live-set
+        # scales down with the axis size, so resolutions that OOM one chip
+        # train unmodified (XLA derives the conv halo exchanges).
+        self.spatial = mesh is not None and 'spatial' in mesh.axis_names
         self.writer = writer
         self.shard_id, self.num_shards = shard_id, num_shards
 
@@ -179,7 +184,8 @@ class MonoDepthLoop:
             # Donate the state: params/opt-state update in place in HBM.
             self._steps[key] = make_train_step(
                 self.trainer, tuple(supp_idxs), self.tx, mesh=self.mesh,
-                train=train, donate=train, zero=self.zero)
+                train=train, donate=train, zero=self.zero,
+                spatial=self.spatial)
         return self._steps[key]
 
     def _init_state(self, batch) -> None:
@@ -237,7 +243,8 @@ class MonoDepthLoop:
         """
         x = {k: v for k, v in x.items() if k != 'supp_idxs'}
         if self.mesh is not None:
-            xb, yb = global_batch_sharding(self.mesh, (x, y))
+            xb, yb = global_batch_sharding(self.mesh, (x, y),
+                                           spatial=self.spatial)
         else:
             xb, yb = jax.device_put((x, y))
         if needs_derive(xb):

@@ -95,7 +95,7 @@ def unreplicate(tree):
 
 def make_train_step(trainer, supp_idxs: tuple, tx, mesh: Optional[Mesh] = None,
                     train: bool = True, axis: str = 'data', donate: bool = True,
-                    zero: int = 0):
+                    zero: int = 0, spatial: bool = False):
     """Compile the trainer's step function, optionally sharded over `mesh`.
 
     :param trainer: `core.MonoDepthTrainer`.
@@ -106,21 +106,40 @@ def make_train_step(trainer, supp_idxs: tuple, tx, mesh: Optional[Mesh] = None,
         replicate params+opt (plain DDP), 1 = shard opt state over `axis`,
         3 = shard opt state + params. Place the state with
         `zero.shard_state(mesh, state, zero)` before the first call.
+    :param spatial: Additionally shard image HEIGHTS over the mesh's
+        `spatial` axis (`parallel/spatial.py`) — activation memory scales
+        down with the spatial axis size, so resolutions whose train-step
+        live set OOMs one chip train unmodified. XLA partitions the convs
+        with halo exchanges and the warp/photometric gathers with the
+        collectives its partitioner derives; the hand-written Pallas kernels
+        have no SPMD partitioning rule, so this path pins their XLA
+        fallbacks (exact — `tests/test_spatial.py` pins loss equality).
     :return: step(state, x, y, rng) -> (state, scalars) jitted.
     """
     step = trainer.make_step_fn(tuple(supp_idxs), tx, train=train)
+    donate_args = (0,) if (donate and train) else ()
     if mesh is None:
-        return jax.jit(step, donate_argnums=(0,) if (donate and train) else ())
+        return jax.jit(step, donate_argnums=donate_args)
 
     repl = replicated(mesh)
+    if spatial and 'spatial' not in mesh.axis_names:
+        raise ValueError(f'spatial=True needs a "spatial" mesh axis, got '
+                         f'{mesh.axis_names}.')
+
+    def _batch_shardings(tree):
+        if spatial:
+            from .spatial import spatial_batch_sharding
+            return spatial_batch_sharding(mesh, tree, data_axis=axis)
+        return batch_sharding(mesh, tree, axis)
 
     def sharded_step(state, x, y, rng):
-        # Constrain inputs: batch over devices, state per the ZeRO stage
-        # (zero=0: everything replicated). XLA derives the collectives over
-        # ICI from these shardings: grad all-reduce at zero=0, grad
-        # reduce-scatter + param all-gather at zero>=1.
-        x = jax.lax.with_sharding_constraint(x, batch_sharding(mesh, x, axis))
-        y = jax.lax.with_sharding_constraint(y, batch_sharding(mesh, y, axis))
+        # Constrain inputs: batch over devices (and heights over `spatial`
+        # when requested), state per the ZeRO stage (zero=0: everything
+        # replicated). XLA derives the collectives over ICI from these
+        # shardings: grad all-reduce at zero=0, grad reduce-scatter + param
+        # all-gather at zero>=1, conv halo exchanges under `spatial`.
+        x = jax.lax.with_sharding_constraint(x, _batch_shardings(x))
+        y = jax.lax.with_sharding_constraint(y, _batch_shardings(y))
         new_state, scalars = step(state, x, y, rng)
         if zero:
             from .zero import state_shardings
@@ -130,4 +149,23 @@ def make_train_step(trainer, supp_idxs: tuple, tx, mesh: Optional[Mesh] = None,
         new_state = jax.lax.with_sharding_constraint(new_state, out_sh)
         return new_state, scalars
 
-    return jax.jit(sharded_step, donate_argnums=(0,) if (donate and train) else ())
+    jitted = jax.jit(sharded_step, donate_argnums=donate_args)
+    if not spatial:
+        return jitted
+
+    def spatial_step(state, x, y, rng):
+        # The Pallas warp/photo kernels dispatch on env flags at TRACE time
+        # (`ops/sample.py:_use_pallas_warp`, `losses/photometric.py:_fused_ok`)
+        # and cannot be auto-partitioned; pin their XLA fallbacks while this
+        # step traces. No-op after the first (per-shape) compile.
+        import os
+        keys = ('SLOWTV_DISABLE_PALLAS_WARP', 'SLOWTV_DISABLE_PALLAS_PHOTO')
+        old = {k: os.environ.get(k) for k in keys}
+        os.environ.update({k: '1' for k in keys})
+        try:
+            return jitted(state, x, y, rng)
+        finally:
+            for k, v in old.items():
+                os.environ.pop(k, None) if v is None else os.environ.__setitem__(k, v)
+
+    return spatial_step

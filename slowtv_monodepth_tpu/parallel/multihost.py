@@ -56,17 +56,23 @@ def process_info() -> tuple:
     return jax.process_index(), jax.process_count()
 
 
-def global_batch_sharding(mesh, batch, axis: str = 'data'):
+def global_batch_sharding(mesh, batch, axis: str = 'data',
+                          spatial: bool = False):
     """Assemble a globally-sharded batch from this host's local shard.
 
     Each host passes its local numpy batch; the result is a global array
     sharded over the mesh's data axis (`jax.make_array_from_process_local_data`).
-    Single-host meshes fall back to a plain device_put.
+    Single-host meshes fall back to a plain device_put. With `spatial=True`
+    image heights additionally shard over the mesh's `spatial` axis
+    (`parallel/spatial.py`).
     """
     from .mesh import batch_sharding, shard_batch
+    from .spatial import shard_batch_spatial, spatial_batch_sharding
     if jax.process_count() == 1:
-        return shard_batch(mesh, batch, axis)
-    shardings = batch_sharding(mesh, batch, axis)
+        return (shard_batch_spatial(mesh, batch, data_axis=axis) if spatial
+                else shard_batch(mesh, batch, axis))
+    shardings = (spatial_batch_sharding(mesh, batch, data_axis=axis) if spatial
+                 else batch_sharding(mesh, batch, axis))
     return jax.tree_util.tree_map(
         lambda x, s: jax.make_array_from_process_local_data(s, x),
         batch, shardings)

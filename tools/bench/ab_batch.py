@@ -29,8 +29,15 @@ import jax.numpy as jnp
 H, W = 384, 640
 
 
-def build(batch: int, remat: bool = False, flatten: bool = False,
+def lower(batch: int, remat: bool = False, flatten: bool = False,
           pose_scale: int = 1, phase_up: bool = False):
+    """Build state/batch and LOWER the train step without compiling.
+
+    One lowered step can be `.compile()`d repeatedly with different
+    `compiler_options`, all variants sharing a single state/batch set —
+    five per-variant state copies at batch 8 RESOURCE_EXHAUST the chip
+    (`ab_copts.py`).
+    """
     from slowtv_monodepth_tpu import parsers
     from slowtv_monodepth_tpu.core import MonoDepthTrainer
     from slowtv_monodepth_tpu.parallel import make_train_step
@@ -70,8 +77,14 @@ def build(batch: int, remat: bool = False, flatten: bool = False,
     tx = parsers.make_optimizer(cfg, steps_per_epoch=1000)
     state = trainer.init_state(jax.random.PRNGKey(1), x, supp_idxs, tx)
     step = make_train_step(trainer, supp_idxs, tx, donate=False)
-    compiled = step.lower(state, x, y, jax.random.PRNGKey(0)).compile()
-    return compiled, state, x, y
+    return step.lower(state, x, y, jax.random.PRNGKey(0)), state, x, y
+
+
+def build(batch: int, remat: bool = False, flatten: bool = False,
+          pose_scale: int = 1, phase_up: bool = False,
+          compiler_options: dict | None = None):
+    lowered, state, x, y = lower(batch, remat, flatten, pose_scale, phase_up)
+    return lowered.compile(compiler_options=compiler_options), state, x, y
 
 
 def timed(compiled, state, x, y, iters: int) -> float:
