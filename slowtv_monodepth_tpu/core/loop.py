@@ -32,7 +32,8 @@ import numpy as np
 
 from .. import LOGGER, parsers
 from ..parallel import make_train_step, shard_batch
-from ..parallel.multihost import global_batch_sharding, is_main_process
+from ..parallel.multihost import (gather_for_save, global_batch_sharding,
+                                  is_main_process)
 from ..utils import MultiLevelTimer, flatten_dict
 from .aspect_ratio import aspect_ratio_aug
 from .device_transform import derive_batch, needs_derive
@@ -302,8 +303,11 @@ class MonoDepthLoop:
                     self.manager.on_epoch_start(epoch)
                 self.train_epoch(epoch)
                 metrics = self.val_epoch(epoch) if self.val_dl else {}
+                # Collective on all processes: ZeRO-sharded leaves span hosts
+                # and must gather BEFORE the process-0 write gate.
+                state_save = gather_for_save(self.state)
                 if self.is_main:
-                    self.ckpt.step(self.state, self.cfg, epoch, metrics)
+                    self.ckpt.step(state_save, self.cfg, epoch, metrics)
                 self._swa_update(epoch)
                 if self._should_early_stop(metrics):
                     LOGGER.info(f'Early stopping at epoch {epoch}.')
@@ -439,11 +443,13 @@ class MonoDepthLoop:
             self._swa_n += 1
 
     def _swa_finalize(self) -> None:
-        if not self.use_swa or self._swa_sum is None or not self.is_main:
+        if not self.use_swa or self._swa_sum is None:
             return
         from .checkpoint import save_checkpoint
         avg = jax.tree_util.tree_map(lambda a: a / self._swa_n, self._swa_sum)
-        swa_state = self.state.replace(params=avg)
+        swa_state = gather_for_save(self.state.replace(params=avg))
+        if not self.is_main:
+            return
         save_checkpoint(self.ckpt_dir / 'swa', swa_state, self.cfg,
                         epoch=self.max_epochs)
         LOGGER.info(f'SWA checkpoint over {self._swa_n} epochs -> {self.ckpt_dir / "swa"}')

@@ -19,7 +19,7 @@ from typing import Optional
 import jax
 
 __all__ = ['initialize_distributed', 'is_main_process', 'process_info',
-           'global_batch_sharding']
+           'global_batch_sharding', 'gather_for_save']
 
 
 def initialize_distributed(coordinator_address: Optional[str] = None,
@@ -54,6 +54,31 @@ def is_main_process() -> bool:
 def process_info() -> tuple:
     """(shard_id, num_shards) for the host input pipeline."""
     return jax.process_index(), jax.process_count()
+
+
+def gather_for_save(tree):
+    """Make every array leaf fully addressable so a single host can write it.
+
+    With `trainer.zero >= 1` on a multi-process run, params/opt_state shards
+    span hosts; fetching such a leaf with `np.asarray` raises. This gathers
+    those leaves to host numpy via `process_allgather`. It is a COLLECTIVE:
+    every process must call it (before any `is_main_process()` gate), exactly
+    like the torchmetrics all-reduce that precedes the reference's
+    rank-zero-gated checkpoint write (ref `src/core/trainer.py:186`).
+
+    Single-process (or fully-addressable) trees pass through untouched.
+    """
+    if jax.process_count() == 1:
+        return tree
+
+    from jax.experimental import multihost_utils
+
+    def gather(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            return multihost_utils.process_allgather(x, tiled=True)
+        return x
+
+    return jax.tree_util.tree_map(gather, tree)
 
 
 def global_batch_sharding(mesh, batch, axis: str = 'data',
