@@ -24,7 +24,9 @@ from slowtv_monodepth_tpu.config import load_yaml  # noqa: E402
 from slowtv_monodepth_tpu.eval import MonoDepthEvaluator  # noqa: E402
 
 try:
-    from api.eval.export_preds import compute_preds  # noqa: E402
+    # Relative: works under any installed top-level name (the wheel ships
+    # this tree as `slowtv_api`, a repo checkout imports it as `api`).
+    from .export_preds import compute_preds  # noqa: E402
 except ImportError:  # direct `python api/eval/eval_depth.py` invocation
     from export_preds import compute_preds  # noqa: E402
 
