@@ -82,8 +82,9 @@ class PhotoError:
 
         import jax
 
+        from ..ops.dispatch import pallas_disabled
         from ..ops.pallas_photo import photo_pallas_supported
-        if os.environ.get('SLOWTV_DISABLE_PALLAS_PHOTO'):
+        if pallas_disabled('photo'):
             return False
         if self.ssim is None or pred.dtype != jnp.float32:
             return False

@@ -133,7 +133,9 @@ _warp_pallas_core.defvjp(_warp_pallas_fwd, _warp_pallas_bwd)
 
 def _use_pallas_warp(img_shape) -> bool:
     import os
-    if os.environ.get('SLOWTV_DISABLE_PALLAS_WARP'):
+
+    from .dispatch import pallas_disabled
+    if pallas_disabled('warp'):
         return False
     if img_shape[-1] > 8:  # Kernel unrolls channels; keep it image-sized.
         return False

@@ -153,19 +153,25 @@ def make_train_step(trainer, supp_idxs: tuple, tx, mesh: Optional[Mesh] = None,
     if not spatial:
         return jitted
 
-    def spatial_step(state, x, y, rng):
-        # The Pallas warp/photo kernels dispatch on env flags at TRACE time
-        # (`ops/sample.py:_use_pallas_warp`, `losses/photometric.py:_fused_ok`)
-        # and cannot be auto-partitioned; pin their XLA fallbacks while this
-        # step traces. No-op after the first (per-shape) compile.
-        import os
-        keys = ('SLOWTV_DISABLE_PALLAS_WARP', 'SLOWTV_DISABLE_PALLAS_PHOTO')
-        old = {k: os.environ.get(k) for k in keys}
-        os.environ.update({k: '1' for k in keys})
-        try:
-            return jitted(state, x, y, rng)
-        finally:
-            for k, v in old.items():
-                os.environ.pop(k, None) if v is None else os.environ.__setitem__(k, v)
+    from ..ops.dispatch import disable_pallas
 
+    def spatial_step(state, x, y, rng):
+        # The Pallas warp/photo kernels dispatch at TRACE time
+        # (`ops/sample.py:_use_pallas_warp`, `losses/photometric.py:_fused_ok`)
+        # and have no SPMD partitioning rule; pin their exact XLA fallbacks
+        # while this step traces. `disable_pallas` is contextvar-scoped, so a
+        # concurrent trace on another thread never observes the flip (unlike
+        # the os.environ mutation this replaces). No-op after the first
+        # (per-shape) compile. Fallback cost is measured + documented in
+        # README "Spatial/TP kernel note" / STATUS round 4.
+        with disable_pallas('warp', 'photo'):
+            return jitted(state, x, y, rng)
+
+    def lower(*args, **kwargs):
+        with disable_pallas('warp', 'photo'):
+            return jitted.lower(*args, **kwargs)
+
+    # Keep the jit object's AOT surface usable (.lower traces under the same
+    # kernel dispatch the live call uses).
+    spatial_step.lower = lower
     return spatial_step

@@ -104,13 +104,29 @@ def tp_leaf_spec(path, x, n: int, axis: str = 'model') -> P:
 
 
 def tp_shardings(mesh: Mesh, variables, axis: str = 'model'):
-    """Per-leaf `NamedSharding` pytree for a Flax variables dict."""
+    """Per-leaf `NamedSharding` pytree for a Flax variables dict.
+
+    The matched (sharded) paths are logged once per call: the rules are
+    name-based ('fc1'/'fc2', 'attn'/'proj'), so a future non-trunk module
+    reusing those names would get silently tensor-sharded — value-correct
+    under GSPMD but with unintended per-call collectives. The log makes any
+    unexpected match visible instead of silent (advisor finding r03).
+    """
     n = mesh.shape[axis]
+    sharded: list = []
 
     def shard(path, v):
-        return NamedSharding(mesh, tp_leaf_spec(path, v, n, axis))
+        s = tp_leaf_spec(path, v, n, axis)
+        if s != P():
+            sharded.append('/'.join(_names(path)))
+        return NamedSharding(mesh, s)
 
-    return jax.tree_util.tree_map_with_path(shard, variables)
+    out = jax.tree_util.tree_map_with_path(shard, variables)
+    if sharded:
+        from .. import LOGGER
+        LOGGER.info(f'TP: sharding {len(sharded)} leaves over "{axis}" '
+                    f'(x{n}): {sharded[:6]}{"..." if len(sharded) > 6 else ""}')
+    return out
 
 
 def shard_variables_tp(mesh: Mesh, variables, axis: str = 'model'):

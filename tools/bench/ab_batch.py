@@ -30,7 +30,8 @@ H, W = 384, 640
 
 
 def lower(batch: int, remat: bool = False, flatten: bool = False,
-          pose_scale: int = 1, phase_up: bool = False):
+          pose_scale: int = 1, phase_up: bool = False,
+          xla_fallback: bool = False, enc_remat: str = ''):
     """Build state/batch and LOWER the train step without compiling.
 
     One lowered step can be `.compile()`d repeatedly with different
@@ -47,7 +48,8 @@ def lower(batch: int, remat: bool = False, flatten: bool = False,
             'depth': {'enc_name': 'convnext_base', 'pretrained': False,
                       'dec_name': 'monodepth', 'out_scales': (0, 1, 2, 3),
                       'gelu': 'tanh', 'dec_pad_mode': 'zeros',
-                      **({'dec_phase_up': True} if phase_up else {})},
+                      **({'dec_phase_up': True} if phase_up else {}),
+                      **({'enc_remat': enc_remat} if enc_remat else {})},
             'pose': {'enc_name': 'convnext_tiny', 'pretrained': False,
                      'learn_K': True, 'gelu': 'tanh',
                      'input_scale': pose_scale},
@@ -77,13 +79,23 @@ def lower(batch: int, remat: bool = False, flatten: bool = False,
     tx = parsers.make_optimizer(cfg, steps_per_epoch=1000)
     state = trainer.init_state(jax.random.PRNGKey(1), x, supp_idxs, tx)
     step = make_train_step(trainer, supp_idxs, tx, donate=False)
+    if xla_fallback:
+        # Trace with the Pallas warp/photo kernels pinned to their exact XLA
+        # fallbacks — the kernel set the spatial/TP-sharded paths run
+        # (`parallel/mesh.py` spatial_step), measured here in the DP path so
+        # the per-kernel downgrade is isolated from the sharding collectives.
+        from slowtv_monodepth_tpu.ops.dispatch import disable_pallas
+        with disable_pallas('warp', 'photo'):
+            return step.lower(state, x, y, jax.random.PRNGKey(0)), state, x, y
     return step.lower(state, x, y, jax.random.PRNGKey(0)), state, x, y
 
 
 def build(batch: int, remat: bool = False, flatten: bool = False,
           pose_scale: int = 1, phase_up: bool = False,
+          xla_fallback: bool = False, enc_remat: str = '',
           compiler_options: dict | None = None):
-    lowered, state, x, y = lower(batch, remat, flatten, pose_scale, phase_up)
+    lowered, state, x, y = lower(batch, remat, flatten, pose_scale, phase_up,
+                                 xla_fallback, enc_remat)
     return lowered.compile(compiler_options=compiler_options), state, x, y
 
 
@@ -116,30 +128,46 @@ def main():
                     help='A/B pose input_scale 1 vs 2 at the FIRST batch size')
     ap.add_argument('--ab-phase-up', action='store_true',
                     help='A/B dec_phase_up off vs on at the FIRST batch size')
+    ap.add_argument('--ab-xla-fallback', action='store_true',
+                    help='A/B Pallas warp/photo kernels vs their XLA '
+                         'fallbacks (the spatial/TP-sharded kernel set) at '
+                         'the FIRST batch size')
+    ap.add_argument('--ab-enc-remat', action='store_true',
+                    help="A/B encoder block_remat '' vs 'dots' vs 'full' at "
+                         'the FIRST batch size')
     ap.add_argument('--pose-scale', type=int, default=1,
                     help='pose input_scale applied to every variant')
     ap.add_argument('--iters', type=int, default=10)
     ap.add_argument('--rounds', type=int, default=3)
     args = ap.parse_args()
 
+    b0 = args.batches[0]
     if args.ab_flatten:
-        specs = {f'B{args.batches[0]}-flat{f}': (args.batches[0], f, args.pose_scale, False)
+        specs = {f'B{b0}-flat{f}': (b0, f, args.pose_scale, False, False)
                  for f in (False, True)}
     elif args.ab_pose_scale:
-        specs = {f'B{args.batches[0]}-pose{ps}': (args.batches[0], False, ps, False)
+        specs = {f'B{b0}-pose{ps}': (b0, False, ps, False, False)
                  for ps in (1, 2)}
     elif args.ab_phase_up:
-        specs = {f'B{args.batches[0]}-phase{pu}': (args.batches[0], False,
-                                                   args.pose_scale, pu)
+        specs = {f'B{b0}-phase{pu}': (b0, False, args.pose_scale, pu, False)
                  for pu in (False, True)}
+    elif args.ab_xla_fallback:
+        specs = {f'B{b0}-xlafb{fb}': (b0, False, args.pose_scale, False, fb, '')
+                 for fb in (False, True)}
+    elif args.ab_enc_remat:
+        specs = {f'B{b0}-remat[{er}]': (b0, False, args.pose_scale, False,
+                                        False, er)
+                 for er in ('', 'dots', 'full')}
     else:
-        specs = {f'B{b}': (b, False, args.pose_scale, False) for b in args.batches}
+        specs = {f'B{b}': (b, False, args.pose_scale, False, False, '')
+                 for b in args.batches}
 
     variants = {}
-    for key, (b, flat, ps, pu) in specs.items():
+    for key, (b, flat, ps, pu, fb, er) in specs.items():
         try:
             variants[key] = build(b, remat=args.remat, flatten=flat,
-                                  pose_scale=ps, phase_up=pu)
+                                  pose_scale=ps, phase_up=pu, xla_fallback=fb,
+                                  enc_remat=er)
         except Exception as e:  # noqa: BLE001 — report OOM/compile failures per-variant
             print(f'{key}: build failed: {type(e).__name__}: {str(e)[:300]}')
     # NOTE: all variants' params/opt-states are co-resident on the chip, so a
