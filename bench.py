@@ -119,6 +119,7 @@ def _probe_backend(timeout_s: float | None = None):
 
 
 def main():
+    import os
     _probe_backend()
     from slowtv_monodepth_tpu import parsers
     from slowtv_monodepth_tpu.core import MonoDepthTrainer
@@ -134,8 +135,12 @@ def main():
                       'gelu': 'tanh', 'dec_pad_mode': 'zeros'},
             # `input_scale: 2` = half-res pose input, -15.8% step time
             # (same-process A/B, tools/bench/ab_batch.py --ab-pose-scale).
+            # SLOWTV_BENCH_POSE_SCALE=1 reproduces the exact reference
+            # recipe (full-res pose, `src/networks/pose.py:108-128`) so both
+            # numbers are on the record (STATUS "Round 4").
             'pose': {'enc_name': 'convnext_tiny', 'pretrained': False, 'learn_K': True,
-                     'gelu': 'tanh', 'input_scale': 2},
+                     'gelu': 'tanh',
+                     'input_scale': int(os.environ.get('SLOWTV_BENCH_POSE_SCALE', '2'))},
         },
         'loss': {
             'img_recon': {'weight': 1, 'use_min': True, 'use_automask': True},
@@ -218,6 +223,7 @@ def main():
         'step_flops': step_flops,
         'flops_per_img': round(step_flops / B),
         'peak_flops': peak,
+        'pose_input_scale': cfg['net']['pose']['input_scale'],
     }))
 
 

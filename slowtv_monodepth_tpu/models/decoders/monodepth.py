@@ -13,6 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from ... import register
+from ...ops.dispatch import constrain_spatial
 from ...ops.pallas_decoder import decoder_stage_supported, fused_upconv_stage
 from .utils import ACT, ConvBlock, conv3x3, upsample2x
 
@@ -71,7 +72,10 @@ class MonodepthDecoder(nn.Module):
                     po['kernel'], po['bias'])
                 continue
 
-            x = ConvBlock(self.num_ch_dec[i], pad_mode=self.pad_mode, name=f'upconv_{i}_0')(x)
+            # Under a spatial (height-sharded) mesh, pin each stage's layout
+            # (no-op otherwise) — see `ops/dispatch.spatial_sharding_hint`.
+            x = constrain_spatial(
+                ConvBlock(self.num_ch_dec[i], pad_mode=self.pad_mode, name=f'upconv_{i}_0')(x))
             skip = feat[list(self.enc_sc).index(sf)] if has_skip else None
             if self._use_phase_up():
                 # up2 + conv as one phase-decomposed low-res conv (exact;
@@ -88,7 +92,8 @@ class MonodepthDecoder(nn.Module):
                 if has_skip:
                     x += [skip]
                 x = jnp.concatenate(x, axis=-1)
-                x = ConvBlock(self.num_ch_dec[i], pad_mode=self.pad_mode, name=f'upconv_{i}_1')(x)
+                x = constrain_spatial(
+                    ConvBlock(self.num_ch_dec[i], pad_mode=self.pad_mode, name=f'upconv_{i}_1')(x))
 
             if i in self.out_sc:
                 out[i] = act(conv3x3(self.out_ch, pad_mode=self.pad_mode, name=f'outconv_{i}')(x))

@@ -15,6 +15,7 @@ import jax.numpy as jnp
 from . import decoders  # noqa: F401  (populate DEC_REG)
 from .. import DEC_REG, register
 from ..ops import blend_stereo
+from ..ops.dispatch import constrain_spatial
 from ..utils import sort_dict
 from .encoders import create_encoder
 
@@ -52,6 +53,10 @@ class DepthNet(nn.Module):
     # TPU recipe: phase-decomposed upsample->conv decoder stages (exact
     # transform, same checkpoints; `ops/phase_up.py`). Monodepth decoder only.
     dec_phase_up: bool = False
+    # Per-block encoder remat policy ('', 'dots', 'full') — math-identical
+    # jax.checkpoint, trades HBM activation traffic for recompute FLOPs
+    # (ConvNeXt encoders only; `encoders/convnext.py`).
+    enc_remat: str = ''
 
     @property
     def out_sc(self) -> Sequence[int]:
@@ -68,7 +73,7 @@ class DepthNet(nn.Module):
             raise ValueError(f'Invalid number of mask channels. ({self.num_ch_mask} vs. >=1)')
 
         self.encoder, self.num_ch_enc, self.enc_sc = create_encoder(
-            self.enc_name, gelu=self.gelu)
+            self.enc_name, gelu=self.gelu, remat=self.enc_remat)
         cls = DEC_REG[self.dec_name]
         extra = {'phase_up': True} if (
             self.dec_phase_up and self.dec_name == 'monodepth') else {}
@@ -88,7 +93,14 @@ class DepthNet(nn.Module):
 
     def _forward(self, x: jnp.ndarray, train: bool) -> dict:
         out = {}
-        out['depth_feats'] = feat = self.encoder(x, train=train)
+        feat = self.encoder(x, train=train)
+        # Under a spatial (height-sharded) mesh, pin each pyramid level's
+        # layout (no-op otherwise): GSPMD left alone height-shards even the
+        # stride-32 map whose height is below the axis size, and the
+        # transpose pass then pays an involuntary full rematerialization
+        # (`ops/dispatch.spatial_sharding_hint` docstring).
+        feat = [constrain_spatial(f) for f in feat]
+        out['depth_feats'] = feat
         out['disp'] = sort_dict(self.decoder_disp(feat, train=train))
         if self.mask_name:
             out['mask'] = sort_dict(self.decoder_mask(feat, train=train))

@@ -26,16 +26,22 @@ ENCODER_SPECS = {**RESNET_SPECS, **CONVNEXT_SPECS, **VIT_SPECS, **SWIN_SPECS,
                  **BEIT_SPECS, **MBNET_SPECS, **HRNET_SPECS, **TOY_SPECS}
 
 
-def create_encoder(name: str, in_chans: int = 3, gelu: str = 'exact'):
+def create_encoder(name: str, in_chans: int = 3, gelu: str = 'exact',
+                   remat: str = ''):
     """Build an encoder module by timm-style name (e.g. 'resnet18', 'convnext_base').
 
     :param gelu: {'exact', 'tanh'} — GELU flavor for GELU-based encoders
         (ConvNeXt). 'tanh' is the TPU-fast training option (see
         `ConvNeXtEncoder` docstring); encoders without GELU ignore it.
+    :param remat: {'', 'dots', 'full'} — per-block `jax.checkpoint` policy
+        (ConvNeXt only; math-identical, trades HBM for recompute FLOPs).
     :return: (module, channels per stage, reduction per stage)
     """
     if gelu not in ('exact', 'tanh'):
         raise KeyError(f'Invalid gelu flavor. ({gelu} vs. ("exact", "tanh"))')
+    if remat and name not in CONVNEXT_SPECS:
+        raise KeyError(f'enc remat is only supported for ConvNeXt encoders '
+                       f'(got "{name}").')
     if name in TOY_SPECS:
         spec = TOY_SPECS[name]
         enc = ToyEncoder(channels=spec['channels'], in_chans=in_chans)
@@ -48,7 +54,7 @@ def create_encoder(name: str, in_chans: int = 3, gelu: str = 'exact'):
     elif name in CONVNEXT_SPECS:
         spec = CONVNEXT_SPECS[name]
         enc = ConvNeXtEncoder(depths=spec['depths'], dims=spec['dims'], in_chans=in_chans,
-                              gelu_approx=(gelu == 'tanh'))
+                              gelu_approx=(gelu == 'tanh'), remat=remat)
     elif name in MBNET_SPECS:
         spec = MBNET_SPECS[name]
         enc = MBNetEncoder(stem=spec['stem'], stages=spec['stages'],

@@ -135,15 +135,33 @@ class ConvNeXtEncoder(nn.Module):
     tanh form saves ~15% of the whole KBR train step; training quality is
     unaffected (the two forms are interchangeable in practice), but weight
     *import parity* tests use the exact default.
+
+    `remat` applies `jax.checkpoint` per block — math-identical, trades HBM
+    activation traffic for recompute FLOPs:
+
+    - ``'dots'``: save matmul/conv outputs, rematerialize the elementwise
+      chains (LN stats, GELU) — the standard "cheap to recompute, expensive
+      to store" policy.
+    - ``'full'``: save only block inputs; recompute everything in the bwd.
     """
     depths: Sequence[int] = (3, 3, 9, 3)
     dims: Sequence[int] = (96, 192, 384, 768)
     in_chans: int = 3
     gelu_approx: bool = False
+    remat: str = ''
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> list[jnp.ndarray]:
         del train  # No batch statistics; kept for the encoder interface.
+        block_cls = ConvNeXtBlock
+        if self.remat == 'dots':
+            block_cls = nn.remat(
+                ConvNeXtBlock, policy=jax.checkpoint_policies.checkpoint_dots)
+        elif self.remat == 'full':
+            block_cls = nn.remat(ConvNeXtBlock)
+        elif self.remat:
+            raise KeyError(f"Invalid remat policy '{self.remat}' "
+                           "(expected '', 'dots' or 'full').")
         feats = []
         # Stem: 4x4/4 conv + LN.
         x = nn.Conv(self.dims[0], (4, 4), (4, 4), name='stem_conv')(x)
@@ -154,7 +172,7 @@ class ConvNeXtEncoder(nn.Module):
                 x = nn.LayerNorm(epsilon=1e-6, name=f'stage{stage}_ds_norm')(x)
                 x = nn.Conv(self.dims[stage], (2, 2), (2, 2), name=f'stage{stage}_ds_conv')(x)
             for i in range(self.depths[stage]):
-                x = ConvNeXtBlock(self.dims[stage], gelu_approx=self.gelu_approx,
-                                  name=f'stage{stage}_block{i}')(x)
+                x = block_cls(self.dims[stage], gelu_approx=self.gelu_approx,
+                              name=f'stage{stage}_block{i}')(x)
             feats.append(x)
         return feats

@@ -19,10 +19,13 @@ import os
 from contextlib import contextmanager
 from contextvars import ContextVar
 
-__all__ = ['pallas_disabled', 'disable_pallas']
+__all__ = ['pallas_disabled', 'disable_pallas', 'spatial_sharding_hint',
+           'constrain_spatial']
 
 _DISABLED: ContextVar[frozenset] = ContextVar('slowtv_disabled_pallas',
                                               default=frozenset())
+_SPATIAL_HINT: ContextVar[tuple | None] = ContextVar('slowtv_spatial_hint',
+                                                     default=None)
 
 
 def pallas_disabled(kind: str) -> bool:
@@ -41,3 +44,54 @@ def disable_pallas(*kinds: str):
         yield
     finally:
         _DISABLED.reset(token)
+
+
+@contextmanager
+def spatial_sharding_hint(mesh, data_axis: str = 'data',
+                          spatial_axis: str = 'spatial'):
+    """Trace-scoped hint that activations are height-sharded over `mesh`.
+
+    While active, `constrain_spatial` pins feature-map shardings to
+    (batch->data, height->spatial-iff-divisible). Without it, GSPMD's
+    propagation can pick a height-sharded layout for a deep feature map whose
+    height is SMALLER than the spatial axis (e.g. the stride-32 stage of a
+    64-px dry-run image), and the backward pass then needs a batch->height
+    reshard it can only do by "involuntary full rematerialization"
+    (spmd_partitioner.cc:652, MULTICHIP_r03.json tail). Contextvar-scoped for
+    the same thread-safety reasons as `disable_pallas`.
+    """
+    token = _SPATIAL_HINT.set((mesh, data_axis, spatial_axis))
+    try:
+        yield
+    finally:
+        _SPATIAL_HINT.reset(token)
+
+
+def constrain_spatial(x):
+    """Pin a (b, h, w, c) feature map's sharding under an active spatial hint.
+
+    No-op (zero trace cost) unless inside `spatial_sharding_hint`. The height
+    axis is pinned to the spatial mesh axis even when not divisible (GSPMD
+    pads the trailing shard): the conv TRANSPOSE at a stage boundary always
+    wants its incoming cotangent height-sharded to partition the halo
+    program, so any other layout forces an elementwise reshard the
+    partitioner can only do by full rematerialization
+    (spmd_partitioner.cc:652, MULTICHIP_r03.json tail).
+    """
+    hint = _SPATIAL_HINT.get()
+    if hint is None:
+        return x
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh, da, sa = hint
+    ndim = getattr(x, 'ndim', 0)
+    if ndim < 4:
+        return x
+    spec = [None] * ndim
+    b_dim, h_dim = (1, 2) if ndim >= 5 else (0, 1)
+    if da in mesh.axis_names:
+        spec[b_dim] = da
+    if sa in mesh.axis_names and mesh.shape[sa] > 1:
+        spec[h_dim] = sa
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(*spec)))

@@ -153,7 +153,7 @@ def make_train_step(trainer, supp_idxs: tuple, tx, mesh: Optional[Mesh] = None,
     if not spatial:
         return jitted
 
-    from ..ops.dispatch import disable_pallas
+    from ..ops.dispatch import disable_pallas, spatial_sharding_hint
 
     def spatial_step(state, x, y, rng):
         # The Pallas warp/photo kernels dispatch at TRACE time
@@ -164,11 +164,15 @@ def make_train_step(trainer, supp_idxs: tuple, tx, mesh: Optional[Mesh] = None,
         # the os.environ mutation this replaces). No-op after the first
         # (per-shape) compile. Fallback cost is measured + documented in
         # README "Spatial/TP kernel note" / STATUS round 4.
-        with disable_pallas('warp', 'photo'):
+        # `spatial_sharding_hint` pins encoder pyramid layouts so the SPMD
+        # partitioner never hits its full-remat fallback (r03 weak #4).
+        with disable_pallas('warp', 'photo'), \
+                spatial_sharding_hint(mesh, data_axis=axis):
             return jitted(state, x, y, rng)
 
     def lower(*args, **kwargs):
-        with disable_pallas('warp', 'photo'):
+        with disable_pallas('warp', 'photo'), \
+                spatial_sharding_hint(mesh, data_axis=axis):
             return jitted.lower(*args, **kwargs)
 
     # Keep the jit object's AOT surface usable (.lower traces under the same

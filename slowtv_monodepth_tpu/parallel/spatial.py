@@ -39,13 +39,14 @@ _warned_heights = set()
 
 
 def spatial_image_spec(x, mesh: Mesh, data_axis: str = 'data',
-                       spatial_axis: str = 'spatial') -> P:
+                       spatial_axis: str = 'spatial', quiet: bool = False) -> P:
     """PartitionSpec for an image batch over (data x spatial) mesh axes.
 
     Rank-4 `(b, h, w, c)` shards b over `data_axis` and h over
     `spatial_axis`; rank-5 `(n, b, h, w, c)` support stacks shard dims 1/2.
     Axes absent from the mesh are skipped; a height not divisible by the
-    spatial axis size leaves h replicated (logged once per height).
+    spatial axis size leaves h replicated (logged once per height, unless
+    `quiet` — intermediate feature maps constrain through here too).
     """
     shape = jnp.shape(x)
     ndim = len(shape)
@@ -59,7 +60,7 @@ def spatial_image_spec(x, mesh: Mesh, data_axis: str = 'data',
         n = int(mesh.shape[spatial_axis])
         if n > 1 and shape[h_dim] % n == 0:
             spec[h_dim] = spatial_axis
-        elif n > 1 and shape[h_dim] not in _warned_heights:
+        elif n > 1 and not quiet and shape[h_dim] not in _warned_heights:
             _warned_heights.add(shape[h_dim])
             logger.warning(f'Height {shape[h_dim]} not divisible by the '
                            f'{n}-way spatial axis; leaving it unsharded.')

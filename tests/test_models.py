@@ -429,3 +429,35 @@ class TestDecoderPadMode:
                 == jax.tree_util.tree_structure(p_z))
         out = net_z.apply(p_z, x, train=False)
         assert out['disp'][0].shape == (1, 32, 64, 1)
+
+
+@pytest.mark.parametrize('policy', ['dots', 'full'])
+def test_convnext_enc_remat_exact(policy):
+    """`enc_remat` (per-block jax.checkpoint, `encoders/convnext.py`) must be
+    math-identical: same param tree, same forward, same gradients. It only
+    changes WHAT XLA stores vs recomputes in the backward (the HBM/FLOPs
+    trade measured by tools/bench/ab_batch.py --ab-enc-remat)."""
+    x = jax.random.uniform(jax.random.PRNGKey(0), (2, 64, 96, 3))
+    kw = dict(enc_name='convnext_atto', pretrained=False, dec_name='monodepth')
+    base = DepthNet(**kw)
+    net = DepthNet(**kw, enc_remat=policy)
+    p = base.init(jax.random.PRNGKey(1), x)
+    assert (jax.tree_util.tree_structure(p)
+            == jax.tree_util.tree_structure(net.init(jax.random.PRNGKey(1), x)))
+
+    def loss(m, v):
+        return m.apply(v, x)['disp'][0].mean()
+
+    l0, g0 = jax.value_and_grad(lambda v: loss(base, v))(p)
+    l1, g1 = jax.value_and_grad(lambda v: loss(net, v))(p)
+    assert float(l0) == float(l1)
+    deltas = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), g0, g1)
+    assert max(jax.tree_util.tree_leaves(deltas)) < 1e-6
+
+
+def test_enc_remat_rejected_for_non_convnext():
+    with pytest.raises(KeyError, match='ConvNeXt'):
+        DepthNet(enc_name='resnet18', pretrained=False,
+                 enc_remat='dots').init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 32, 64, 3)))

@@ -143,13 +143,13 @@ def main():
 
     b0 = args.batches[0]
     if args.ab_flatten:
-        specs = {f'B{b0}-flat{f}': (b0, f, args.pose_scale, False, False)
+        specs = {f'B{b0}-flat{f}': (b0, f, args.pose_scale, False, False, '')
                  for f in (False, True)}
     elif args.ab_pose_scale:
-        specs = {f'B{b0}-pose{ps}': (b0, False, ps, False, False)
+        specs = {f'B{b0}-pose{ps}': (b0, False, ps, False, False, '')
                  for ps in (1, 2)}
     elif args.ab_phase_up:
-        specs = {f'B{b0}-phase{pu}': (b0, False, args.pose_scale, pu, False)
+        specs = {f'B{b0}-phase{pu}': (b0, False, args.pose_scale, pu, False, '')
                  for pu in (False, True)}
     elif args.ab_xla_fallback:
         specs = {f'B{b0}-xlafb{fb}': (b0, False, args.pose_scale, False, fb, '')
