@@ -71,12 +71,31 @@ class AsyncSaver:
         self._thread.start()
 
 
+def _local_checkpointer():
+    """A `StandardCheckpointer` whose barriers are PROCESS-LOCAL.
+
+    Checkpoint writes are gated to process 0 (`MonoDepthLoop.fit`, the
+    reference's rank-zero ModelCheckpoint semantics) and operate on
+    already-gathered host numpy trees — but a default orbax checkpointer
+    issues `sync_global_processes` barriers that every process must join, so
+    a process-0-only save deadlocks/mismatches a multi-process run (caught by
+    `tests/test_multihost.py::test_two_process_loop_fit`). Scoping
+    `active_processes` to THIS process makes every barrier trivial; the write
+    itself was always process-local data.
+    """
+    import orbax.checkpoint as ocp
+    pid = jax.process_index()
+    opts = ocp.options.MultiprocessingOptions(
+        primary_host=pid, active_processes={pid},
+        barrier_sync_key_prefix=f'proc{pid}')
+    return ocp.StandardCheckpointer(multiprocessing_options=opts)
+
+
 def _write_checkpoint(path: Path, tree: dict, cfg: dict, epoch: int,
                       step: int, monitor: Optional[float]) -> None:
-    import orbax.checkpoint as ocp
     if path.exists():
         shutil.rmtree(path)
-    with ocp.StandardCheckpointer() as ckptr:
+    with _local_checkpointer() as ckptr:
         ckptr.save(path, jax.tree_util.tree_map(lambda v: np.asarray(v), tree))
     meta = {'cfg': cfg, 'epoch': int(epoch), 'step': int(step),
             'monitor': None if monitor is None else float(monitor)}
@@ -112,10 +131,12 @@ def load_checkpoint(path, state: Optional[TrainState] = None):
     :param state: Template state for dtype/sharding restoration. When None,
         arrays load as host numpy (e.g. for inference-only use).
     """
-    import orbax.checkpoint as ocp
     path = Path(path).absolute()
 
-    with ocp.StandardCheckpointer() as ckptr:
+    # Process-local reads: every process restores the full host tree from the
+    # shared directory with no cross-process barriers (see _local_checkpointer
+    # — asymmetric orbax barriers would couple process schedules).
+    with _local_checkpointer() as ckptr:
         if state is not None:
             target = {
                 'params': state.params, 'aux': state.aux,

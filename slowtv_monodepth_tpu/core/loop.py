@@ -20,6 +20,7 @@ Replaces the reference's PyTorch-Lightning `Trainer` + callback zoo
 from __future__ import annotations
 
 import math
+import random as _random
 import signal
 import socket
 from functools import partial
@@ -226,7 +227,14 @@ class MonoDepthLoop:
             # input shardings, so a single-device state would compile the
             # whole step twice (once for the host-placed state, once for the
             # mesh-placed state it returns). ZeRO stages shard the opt state
-            # (and params at stage 3) here instead of replicating.
+            # (and params at stage 3) here instead of replicating. Multi-
+            # process runs route through host numpy first: device_put from a
+            # committed local array (e.g. a resumed checkpoint) to a global
+            # sharding would demand a cross-host transfer
+            # (`parallel/multihost.py:host_local_tree`; caught by
+            # `tests/test_multihost.py::test_two_process_loop_fit` resume).
+            from ..parallel.multihost import host_local_tree
+            self.state = host_local_tree(self.state)
             if self.zero:
                 from ..parallel import shard_state
                 self.state = shard_state(self.mesh, self.state, self.zero)
@@ -316,6 +324,13 @@ class MonoDepthLoop:
             self.ckpt.finalize()  # Drain any in-flight async save.
             if self.manager:
                 self.manager.on_fit_end()
+            if jax.process_count() > 1:
+                # End-of-fit barrier (Lightning's DDP teardown equivalent):
+                # non-main processes must not return — and e.g. read the
+                # `finished` marker or the final checkpoints — before
+                # process 0 has written them.
+                from jax.experimental import multihost_utils
+                multihost_utils.sync_global_devices('slowtv_fit_end')
         except BaseException:
             try:
                 self.ckpt.finalize()
@@ -328,7 +343,16 @@ class MonoDepthLoop:
     # ----------------------------------------------------------------- epochs
     def train_epoch(self, epoch: int) -> None:
         self.train_dl.set_epoch(epoch)
-        rng = np.random.default_rng()
+        # Both per-step RNG streams are seeded by (cfg seed, epoch) so every
+        # process draws the SAME sequence: under multi-process SPMD the
+        # AR-aug bucket shape and the step's PRNG key are inputs to one
+        # global computation — a per-process draw would trace different
+        # programs per host (shape divergence) or feed divergent replicated
+        # values (undefined results). Proven by the 2-process loop test
+        # (`tests/test_multihost.py::test_two_process_loop_fit`).
+        seed = int(self.cfg.get('seed', 42))
+        rng = np.random.default_rng(seed + 1000003 * epoch)
+        ar_rng = _random.Random(seed * 7919 + epoch)
         last_scalars = None
 
         for i, (x, y, m) in enumerate(self.train_dl):
@@ -337,7 +361,7 @@ class MonoDepthLoop:
 
             supp_idxs = tuple(int(v) for v in x.get('supp_idxs', ()))
             xb, yb = self._place(x, y)
-            batch = self.ar_aug((xb, yb, m))
+            batch = self.ar_aug((xb, yb, m), rng=ar_rng)
             xb, yb, m = batch
 
             step = self._step_fn(supp_idxs, train=True)

@@ -82,7 +82,7 @@ class PhotoError:
 
         import jax
 
-        from ..ops.dispatch import pallas_disabled
+        from ..ops.dispatch import pallas_disabled, spatial_photo_context
         from ..ops.pallas_photo import photo_pallas_supported
         if pallas_disabled('photo'):
             return False
@@ -90,6 +90,18 @@ class PhotoError:
             return False
         shape = pred.shape if pred.ndim == 4 else (
             (pred.shape[0] * pred.shape[1],) + pred.shape[2:])
+        ctx = spatial_photo_context()
+        if ctx is not None:
+            # Spatial-sharded step: the kernel only stays alive through the
+            # batch-resharding shard_map (`ops/pallas_photo.py:
+            # _photo_err_spatial`); if the flattened batch does not divide
+            # the mesh, use the XLA path (which GSPMD partitions with halos).
+            mesh, da, sa = ctx
+            n = 1
+            for ax in (da, sa):
+                n *= int(mesh.shape[ax]) if ax in mesh.axis_names else 1
+            if shape[0] % n:
+                return False
         backend = ('tpu' if os.environ.get('SLOWTV_FORCE_PALLAS_PHOTO')
                    else jax.default_backend())
         return photo_pallas_supported(shape, backend)

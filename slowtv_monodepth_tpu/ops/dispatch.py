@@ -20,12 +20,17 @@ from contextlib import contextmanager
 from contextvars import ContextVar
 
 __all__ = ['pallas_disabled', 'disable_pallas', 'spatial_sharding_hint',
-           'constrain_spatial']
+           'constrain_spatial', 'spatial_warp_shardmap', 'spatial_warp_context',
+           'spatial_photo_shardmap', 'spatial_photo_context']
 
 _DISABLED: ContextVar[frozenset] = ContextVar('slowtv_disabled_pallas',
                                               default=frozenset())
 _SPATIAL_HINT: ContextVar[tuple | None] = ContextVar('slowtv_spatial_hint',
                                                      default=None)
+_SPATIAL_WARP: ContextVar[tuple | None] = ContextVar('slowtv_spatial_warp',
+                                                     default=None)
+_SPATIAL_PHOTO: ContextVar[tuple | None] = ContextVar('slowtv_spatial_photo',
+                                                      default=None)
 
 
 def pallas_disabled(kind: str) -> bool:
@@ -65,6 +70,59 @@ def spatial_sharding_hint(mesh, data_axis: str = 'data',
         yield
     finally:
         _SPATIAL_HINT.reset(token)
+
+
+@contextmanager
+def spatial_warp_shardmap(mesh, data_axis: str = 'data',
+                          spatial_axis: str = 'spatial'):
+    """Trace-scoped: route `ops.sample.grid_sample` through a `shard_map`
+    over `mesh` so the Pallas warp kernel stays alive under spatial (height)
+    sharding.
+
+    The kernel has no GSPMD partitioning rule, so the height-sharded train
+    step used to pin its XLA fallback — measured at 5.3x the whole-step cost
+    (STATUS round 4). Inside the shard_map region each device holds the FULL
+    source image (GSPMD all-gathers it over the spatial axis, trading back
+    the warp-source memory saving) and its own height-slice of the sample
+    grid, so warp COMPUTE shards over the spatial axis and the kernel runs
+    shard-locally. Exact: same math, same kernel, different partitioning.
+    """
+    token = _SPATIAL_WARP.set((mesh, data_axis, spatial_axis))
+    try:
+        yield
+    finally:
+        _SPATIAL_WARP.reset(token)
+
+
+def spatial_warp_context():
+    """The active (mesh, data_axis, spatial_axis) for shard_map warps."""
+    return _SPATIAL_WARP.get()
+
+
+@contextmanager
+def spatial_photo_shardmap(mesh, data_axis: str = 'data',
+                           spatial_axis: str = 'spatial'):
+    """Trace-scoped: route the fused SSIM+L1 Pallas photo kernel through a
+    batch-resharding `shard_map` so it stays alive under spatial (height)
+    sharding.
+
+    The photometric error is independent per image plane, so the flattened
+    (n_supp x n_scales x b) stack can repartition its BATCH axis over all
+    mesh devices with full height per image (GSPMD inserts the all-to-all at
+    the shard_map boundary). Memory-neutral — each device holds 1/N of the
+    stack either way — and the backward needs no psum (no replicated
+    operands). Exact: same kernel per image, different partitioning.
+    """
+    token = _SPATIAL_PHOTO.set((mesh, data_axis, spatial_axis))
+    try:
+        yield
+    finally:
+        _SPATIAL_PHOTO.reset(token)
+
+
+def spatial_photo_context():
+    """The active (mesh, data_axis, spatial_axis) for shard_map photo err."""
+    return _SPATIAL_PHOTO.get()
 
 
 def constrain_spatial(x):

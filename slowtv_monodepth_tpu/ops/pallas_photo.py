@@ -326,5 +326,50 @@ def photo_err_ssim(pred: jnp.ndarray, target: jnp.ndarray,
     :param target: (m, h, w, c) target images.
     :return: (m, h, w, 1) channel-mean photometric error — exactly
         `PhotoError(w_ssim)(pred, target)` (`losses/photometric.py`).
+
+    Under an active `dispatch.spatial_photo_shardmap` context (the spatial-
+    sharded train step), the call routes through a batch-resharding
+    `shard_map` that keeps the kernel alive per mesh device — see
+    `_photo_err_spatial`.
     """
+    from .dispatch import spatial_photo_context
+    ctx = spatial_photo_context()
+    if ctx is not None:
+        out = _photo_err_spatial(pred, target, float(w_ssim), ctx)
+        if out is not None:
+            return out
     return _photo_core(pred, target, float(w_ssim))[..., None]
+
+
+def _photo_err_spatial(pred, target, w_ssim: float, ctx):
+    """Photo error under spatial (height) sharding, Pallas kernel alive.
+
+    The error is independent per image plane, so the flattened batch axis
+    repartitions over ALL mesh devices with full height per image (in_specs
+    `P((da, sa))`; GSPMD inserts the all-to-all at the boundary). Memory-
+    neutral — each device holds 1/N of the stack either way — and the
+    backward needs no psum (no replicated operands). Same layout the
+    batch-resharded warp emits (`ops/sample.py:_grid_sample_spatial`), so
+    warp -> photo chains with no intermediate reshard. Returns None when the
+    batch does not divide the mesh (caller falls back; `PhotoError._fused_ok`
+    pre-gates this inside the train step).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from .sample import _shard_map
+
+    shard_map, strict_kw = _shard_map()
+    mesh, da, sa = ctx
+    n_s = int(mesh.shape[sa]) if sa in mesh.axis_names else 1
+    n_d = int(mesh.shape[da]) if da in mesh.axis_names else 1
+    if n_s <= 1:
+        return _photo_core(pred, target, w_ssim)[..., None]
+    if pred.shape[0] % (n_d * n_s):
+        return None
+
+    def local(p, t):
+        return _photo_core(p, t, w_ssim)[..., None]
+
+    return shard_map(local, mesh=mesh,
+                     in_specs=(P((da, sa)), P((da, sa))),
+                     out_specs=P((da, sa)), **strict_kw)(pred, target)

@@ -161,7 +161,83 @@ def grid_sample(img: jnp.ndarray, grid: jnp.ndarray, padding_mode: str = 'border
     ~5x the XLA gather on video-like warps); elsewhere (and for `zeros`) the
     XLA gather path below is used. Both match torch
     `grid_sample(bilinear, border/zeros, align_corners=False)` exactly.
+
+    Under an active `dispatch.spatial_warp_shardmap` context (the spatial-
+    sharded train step), the call routes through a `shard_map` that keeps the
+    Pallas kernel alive per height shard — see `_grid_sample_spatial`.
     """
+    from .dispatch import spatial_warp_context
+    ctx = spatial_warp_context()
+    if ctx is not None:
+        return _grid_sample_spatial(img, grid, padding_mode, ctx)
+    return _grid_sample_impl(img, grid, padding_mode)
+
+
+def _shard_map():
+    try:
+        from jax import shard_map
+        return shard_map, {'check_vma': False}
+    except ImportError:  # older JAX
+        from jax.experimental.shard_map import shard_map
+        return shard_map, {'check_rep': False}
+
+
+def _grid_sample_spatial(img, grid, padding_mode: str, ctx) -> jnp.ndarray:
+    """`grid_sample` under spatial (height) sharding, Pallas kernel alive.
+
+    The warp is a data-dependent gather: an output row can read ANY source
+    row, so a height-sharded source cannot feed the kernel shard-locally.
+    Two shard_map partitionings keep the kernel running, tried in order:
+
+    1. **Batch reshard** (b divides n_data*n_spatial — the training case: the
+       warp runs on the (n_supp x n_scales x batch)-flattened stack): both
+       operands repartition their BATCH axis over ALL mesh devices with full
+       height per image (in_specs `P((da, sa))`; GSPMD inserts the
+       all-to-all). Memory-neutral — each device holds 1/N of the stack
+       either way — and the backward needs no psum. Feeds the photo kernel's
+       identical layout downstream with no intermediate reshard.
+    2. **Source replication** (batch too small, grid height divisible): the
+       SOURCE replicates over the spatial axis (GSPMD all-gathers it — n_s x
+       the source memory) while the GRID keeps its height sharding, so each
+       device samples only its own output rows with the full source
+       resident. Transposition: the source's cotangent contributions psum
+       over the spatial axis (shard_map inserts this for inputs whose spec
+       omits the axis).
+
+    The local call is the ordinary `_grid_sample_impl`: same kernel, same
+    math, measured exact incl. gradients (`tests/test_spatial.py`). Falls
+    back to the plain (GSPMD-partitioned, Pallas-disabled) path when neither
+    divisibility holds.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from .dispatch import disable_pallas
+
+    shard_map, strict_kw = _shard_map()
+    mesh, da, sa = ctx
+    b, gh = img.shape[0], grid.shape[1]
+    n_s = int(mesh.shape[sa]) if sa in mesh.axis_names else 1
+    n_d = int(mesh.shape[da]) if da in mesh.axis_names else 1
+
+    def local(im, g):
+        return _grid_sample_impl(im, g, padding_mode)
+
+    if n_s <= 1:
+        return _grid_sample_impl(img, grid, padding_mode)
+    if b % (n_d * n_s) == 0:
+        return shard_map(local, mesh=mesh,
+                         in_specs=(P((da, sa)), P((da, sa))),
+                         out_specs=P((da, sa)), **strict_kw)(img, grid)
+    if gh % n_s == 0 and b % n_d == 0:
+        return shard_map(local, mesh=mesh,
+                         in_specs=(P(da), P(da, sa)),
+                         out_specs=P(da, sa), **strict_kw)(img, grid)
+    with disable_pallas('warp'):
+        return _grid_sample_impl(img, grid, padding_mode)
+
+
+def _grid_sample_impl(img: jnp.ndarray, grid: jnp.ndarray,
+                      padding_mode: str = 'border') -> jnp.ndarray:
     if padding_mode not in ('border', 'zeros'):
         raise ValueError(f'Invalid padding_mode: {padding_mode}')
     b, h, w, c = img.shape

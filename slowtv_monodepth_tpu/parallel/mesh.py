@@ -153,26 +153,47 @@ def make_train_step(trainer, supp_idxs: tuple, tx, mesh: Optional[Mesh] = None,
     if not spatial:
         return jitted
 
-    from ..ops.dispatch import disable_pallas, spatial_sharding_hint
+    import os
+
+    from ..ops.dispatch import (disable_pallas, spatial_photo_shardmap,
+                                spatial_sharding_hint, spatial_warp_shardmap)
+
+    # Kernel dispatch under spatial sharding, applied at TRACE time
+    # (`ops/sample.py:grid_sample`, `losses/photometric.py:_fused_ok`;
+    # contextvar-scoped, so a concurrent trace on another thread never
+    # observes the flip — unlike the os.environ mutation this replaces;
+    # no-op after the first per-shape compile). The full XLA fallback for
+    # the warp+photo kernel set costs 5.3x on the whole step (STATUS round
+    # 4), so both kernels stay alive through shard_map partitioning rules:
+    # - warp: batch-resharded (or source-replicated) shard_map keeps the
+    #   Pallas kernel running per device (`dispatch.spatial_warp_shardmap`).
+    #   Opt out with SLOWTV_SPATIAL_SHARDMAP_WARP=0 (pins the XLA fallback).
+    # - photo (fused SSIM+L1): batch-resharding shard_map — memory-neutral,
+    #   no psum (`dispatch.spatial_photo_shardmap`). Opt out with
+    #   SLOWTV_SPATIAL_SHARDMAP_PHOTO=0; indivisible batches fall back to
+    #   the exact XLA path automatically (`PhotoError._fused_ok`).
+    # `spatial_sharding_hint` pins encoder pyramid layouts so the SPMD
+    # partitioner never hits its full-remat fallback (r03 weak #4).
+    def _dispatch_ctx():
+        from contextlib import ExitStack
+        stack = ExitStack()
+        if os.environ.get('SLOWTV_SPATIAL_SHARDMAP_WARP', '1') == '0':
+            stack.enter_context(disable_pallas('warp'))
+        else:
+            stack.enter_context(spatial_warp_shardmap(mesh, data_axis=axis))
+        if os.environ.get('SLOWTV_SPATIAL_SHARDMAP_PHOTO', '1') == '0':
+            stack.enter_context(disable_pallas('photo'))
+        else:
+            stack.enter_context(spatial_photo_shardmap(mesh, data_axis=axis))
+        stack.enter_context(spatial_sharding_hint(mesh, data_axis=axis))
+        return stack
 
     def spatial_step(state, x, y, rng):
-        # The Pallas warp/photo kernels dispatch at TRACE time
-        # (`ops/sample.py:_use_pallas_warp`, `losses/photometric.py:_fused_ok`)
-        # and have no SPMD partitioning rule; pin their exact XLA fallbacks
-        # while this step traces. `disable_pallas` is contextvar-scoped, so a
-        # concurrent trace on another thread never observes the flip (unlike
-        # the os.environ mutation this replaces). No-op after the first
-        # (per-shape) compile. Fallback cost is measured + documented in
-        # README "Spatial/TP kernel note" / STATUS round 4.
-        # `spatial_sharding_hint` pins encoder pyramid layouts so the SPMD
-        # partitioner never hits its full-remat fallback (r03 weak #4).
-        with disable_pallas('warp', 'photo'), \
-                spatial_sharding_hint(mesh, data_axis=axis):
+        with _dispatch_ctx():
             return jitted(state, x, y, rng)
 
     def lower(*args, **kwargs):
-        with disable_pallas('warp', 'photo'), \
-                spatial_sharding_hint(mesh, data_axis=axis):
+        with _dispatch_ctx():
             return jitted.lower(*args, **kwargs)
 
     # Keep the jit object's AOT surface usable (.lower traces under the same

@@ -81,6 +81,27 @@ def gather_for_save(tree):
     return jax.tree_util.tree_map(gather, tree)
 
 
+def host_local_tree(tree):
+    """Drop committed device placements before a multi-process `device_put`.
+
+    `jax.device_put` from a COMMITTED process-local array to a sharding that
+    spans other processes demands a cross-host device transfer (the runtime
+    cannot know every process holds the same value), which most backends
+    refuse. At the points this is used (state placement onto the global mesh
+    in `MonoDepthLoop._init_state`), every process provably holds the full
+    value — fresh init is identical across processes (same PRNGKey) and
+    checkpoint restores are process-local reads of the shared directory — so
+    fetching leaves to host numpy lets each process place its own addressable
+    shards with no transfer. No-op single-process (placement stays on-device).
+    """
+    if jax.process_count() == 1:
+        return tree
+    import numpy as np
+
+    return jax.tree_util.tree_map(
+        lambda v: np.asarray(v) if isinstance(v, jax.Array) else v, tree)
+
+
 def global_batch_sharding(mesh, batch, axis: str = 'data',
                           spatial: bool = False):
     """Assemble a globally-sharded batch from this host's local shard.

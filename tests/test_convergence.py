@@ -208,8 +208,74 @@ def render_motion_scene(seed: int, b: int = 2, txs=(0.03, -0.03)):
     return imgs, supp, depth, K
 
 
-def _run_pose_training(input_scale: int, n_steps: int = 400):
-    imgs, supp, depth_gt, K = render_motion_scene(seed=3)
+def render_motion_scene_rot(seed: int, b: int = 2,
+                            motions=((0.03, 0.035, -0.02), (-0.03, -0.03, 0.025))):
+    """Target + support views under ROTATION + translation camera motion.
+
+    Same analytic plane/texture machinery as `render_motion_scene`, but each
+    support camera is rotated (yaw `ay` about Y, pitch `ax` about X) as well as
+    displaced along x — the rotation-dominant regime of SlowTV footage that a
+    translation-only toy cannot probe. `motions` is one `(tx, ay, ax)` triple
+    per support view; at f=96 px the ~0.03 rad rotations displace ~3 px,
+    comparable to the translation parallax.
+
+    Support-view rendering: a support pixel ray `r_s` maps to target-frame
+    direction `d = R^T r_s` from the camera centre `c = (tx, 0, 0)`; the
+    ray/plane intersection `X_t = lam*d + c` with
+    `lam = (z0 + gx*tx) / (d_z - gx*d_x - gy*d_y)` gives the plane coords the
+    shared texture is sampled at.
+    """
+    rng = np.random.default_rng(seed)
+    u, v = np.meshgrid(np.arange(W, dtype=np.float64),
+                       np.arange(H, dtype=np.float64))
+    rx = (u - 0.5 * W) / FX
+    ry = (v - 0.5 * H) / FY
+
+    Rs = []
+    for _, ay, ax in motions:
+        Ry = np.array([[np.cos(ay), 0, np.sin(ay)],
+                       [0, 1, 0],
+                       [-np.sin(ay), 0, np.cos(ay)]])
+        Rx = np.array([[1, 0, 0],
+                       [0, np.cos(ax), -np.sin(ax)],
+                       [0, np.sin(ax), np.cos(ax)]])
+        Rs.append(Rx @ Ry)
+
+    imgs, supps, depths = [], [[] for _ in motions], []
+    for _ in range(b):
+        z0 = rng.uniform(0.45, 0.55)
+        gx = rng.choice([-1, 1]) * rng.uniform(0.4, 0.6)
+        gy = rng.choice([-1, 1]) * rng.uniform(0.25, 0.4)
+        phases = rng.uniform(0, 2 * np.pi, (3, 6))
+        ts = 2.5 / z0
+
+        zt = z0 / (1.0 - gx * rx - gy * ry)
+        imgs.append(_texture(ts * zt * rx, ts * zt * ry, phases))
+        depths.append(zt)
+
+        for j, (tx, _, _) in enumerate(motions):
+            R = Rs[j]
+            # d = R^T r_s, vectorized over the pixel grid (r_s = (rx, ry, 1)).
+            dx = R[0, 0] * rx + R[1, 0] * ry + R[2, 0]
+            dy = R[0, 1] * rx + R[1, 1] * ry + R[2, 1]
+            dz = R[0, 2] * rx + R[1, 2] * ry + R[2, 2]
+            lam = (z0 + gx * tx) / (dz - gx * dx - gy * dy)
+            supps[j].append(_texture(ts * (lam * dx + tx), ts * (lam * dy), phases))
+
+    imgs = jnp.asarray(np.stack(imgs), jnp.float32)
+    supp = jnp.asarray(np.stack([np.stack(s) for s in supps]), jnp.float32)
+    depth = jnp.asarray(np.stack(depths), jnp.float32)[..., None]
+    K = jnp.broadcast_to(jnp.array(
+        [[FX, 0, 0.5 * W, 0], [0, FY, 0.5 * H, 0],
+         [0, 0, 1, 0], [0, 0, 0, 1.0]], jnp.float32), (b, 4, 4))
+    return imgs, supp, depth, K
+
+
+def _run_pose_training(input_scale: int, n_steps: int = 400, seed: int = 3,
+                       rotation: bool = False, learn_K: bool = False,
+                       automask: bool = False):
+    render = render_motion_scene_rot if rotation else render_motion_scene
+    imgs, supp, depth_gt, K = render(seed=seed)
     x = {'imgs': imgs, 'supp_imgs': supp}
     y = {'imgs': imgs, 'supp_imgs': supp, 'K': K}
 
@@ -218,10 +284,10 @@ def _run_pose_training(input_scale: int, n_steps: int = 400):
             'depth': {'enc_name': 'resnet18', 'pretrained': False,
                       'dec_name': 'monodepth', 'out_scales': [0, 1, 2, 3]},
             'pose': {'enc_name': 'resnet18', 'pretrained': False,
-                     'input_scale': input_scale},
+                     'input_scale': input_scale, 'learn_K': learn_K},
         },
         'loss': {
-            'img_recon': {'weight': 1, 'use_min': True, 'use_automask': False},
+            'img_recon': {'weight': 1, 'use_min': True, 'use_automask': automask},
             'disp_smooth': {'weight': 0.001, 'use_edges': True},
         },
         'optimizer': {'type': 'adamw', 'lr': 5e-4, 'weight_decay': 1e-3},
@@ -240,7 +306,14 @@ def _run_pose_training(input_scale: int, n_steps: int = 400):
         loss = float(scalars['loss'])
         if loss0 is None:
             loss0 = loss
-    return err0, _abs_rel(trainer, state, x, depth_gt, supp_idxs), loss0, loss
+
+    res = dict(err0=err0, err=_abs_rel(trainer, state, x, depth_gt, supp_idxs),
+               loss0=loss0, loss=loss)
+    if learn_K:
+        fwd, _ = trainer.forward(state.params, state.aux, x, supp_idxs, train=False)
+        res['fs'] = np.asarray(fwd['fs'][0].mean(axis=0))  # normalized (2,)
+        res['cs'] = np.asarray(fwd['cs'][0].mean(axis=0))
+    return res
 
 
 @pytest.mark.slow
@@ -253,8 +326,12 @@ def test_pose_training_halfres_equivalence():
     chaotic near-init divergence, see test_recipe_deviation.py); what must
     hold is that the learned geometry ends up equally good.
     """
-    err0_full, err_full, loss0_full, loss_full = _run_pose_training(1)
-    err0_half, err_half, loss0_half, loss_half = _run_pose_training(2)
+    full = _run_pose_training(1)
+    half = _run_pose_training(2)
+    err0_full, err_full, loss0_full, loss_full = (
+        full['err0'], full['err'], full['loss0'], full['loss'])
+    err0_half, err_half, loss0_half, loss_half = (
+        half['err0'], half['err'], half['loss0'], half['loss'])
     print(f'pose full-res: AbsRel {err0_full:.3f} -> {err_full:.3f} '
           f'(loss {loss0_full:.3f} -> {loss_full:.3f})')
     print(f'pose half-res: AbsRel {err0_half:.3f} -> {err_half:.3f} '
@@ -275,3 +352,45 @@ def test_pose_training_halfres_equivalence():
     # training if it does worse than its baseline, which this pins.)
     assert err_half <= err_full + 0.02, \
         f'half-res pose degraded convergence: full {err_full:.3f} vs half {err_half:.3f}'
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize('seed', [3, 11])
+def test_pose_training_halfres_equivalence_benched_regime(seed):
+    """`pose.input_scale: 2` evidence in the BENCHED regime (bench.py runs
+    `learn_K: True` + `use_automask: True`; the plain equivalence test above
+    probes neither): rotation-dominant camera motion, learned intrinsics, and
+    automasking, over 2 seeds. Half-res pose must (a) converge, (b) end no
+    worse than full-res, and (c) regress focal/principal-point values that
+    match the full-res run's — the K heads are the component whose half-res
+    behavior the plain test leaves unproven (ref `src/networks/pose.py:86-106`
+    predicts normalized fs/cs from globally pooled encoder features)."""
+    full = _run_pose_training(1, seed=seed, rotation=True, learn_K=True,
+                              automask=True)
+    half = _run_pose_training(2, seed=seed, rotation=True, learn_K=True,
+                              automask=True)
+    print(f"seed {seed} full-res: AbsRel {full['err0']:.3f} -> {full['err']:.3f} "
+          f"fs {full['fs'].round(3)} cs {full['cs'].round(3)}")
+    print(f"seed {seed} half-res: AbsRel {half['err0']:.3f} -> {half['err']:.3f} "
+          f"fs {half['fs'].round(3)} cs {half['cs'].round(3)}")
+
+    # (a) Converges outright with automask + learned K in play.
+    assert half['err'] < 0.10, \
+        f"half-res did not converge: {half['err0']:.3f} -> {half['err']:.3f}"
+    assert half['err'] < 0.65 * half['err0'], \
+        f"half-res no real improvement: {half['err0']:.3f} -> {half['err']:.3f}"
+    assert half['loss'] < 0.3 * half['loss0'], \
+        f"half-res loss stuck: {half['loss0']:.3f} -> {half['loss']:.3f}"
+    # (b) No worse than the full-res reference behavior.
+    assert half['err'] <= full['err'] + 0.02, \
+        f"half-res degraded convergence: full {full['err']:.3f} vs half {half['err']:.3f}"
+    # (c) The K heads regress the same intrinsics from half-res features.
+    # fs/cs are normalized (true fs=(1.0, 1.5), cs=(0.5, 0.5)); focal is only
+    # observable through the focal*translation product (scale ambiguity), so
+    # the bound is agreement with full-res, not ground truth.
+    assert np.all(np.abs(half['fs'] - full['fs']) < 0.15), \
+        f"half-res focal drifted: full {full['fs']} vs half {half['fs']}"
+    assert np.all(np.abs(half['cs'] - full['cs']) < 0.05), \
+        f"half-res principal point drifted: full {full['cs']} vs half {half['cs']}"
+
+

@@ -102,3 +102,82 @@ def test_two_process_distributed_step_matches_single_process(tmp_path):
     assert losses[0] == losses[1], f'ranks disagree: {losses}'
     np.testing.assert_allclose(losses[0], losses[2], rtol=1e-5,
                                err_msg=f'2-proc vs 1-proc: {losses}')
+
+
+LOOP_WORKER = Path(__file__).resolve().parent / '_two_process_loop_worker.py'
+
+
+@pytest.mark.slow
+def test_two_process_loop_fit(tmp_path):
+    """`MonoDepthLoop.fit` driven by BOTH processes of a 2-process
+    `jax.distributed` runtime (VERDICT r03 #6 — §5.8 LOOP semantics, not just
+    array assembly): per-process loader shards disjoint, AR-aug bucket stream
+    process-synchronized, checkpoint/marker writes on process 0 only, resume
+    picks up at epoch 1 on both processes.
+
+    Reference behavior being mirrored: per-rank `DistributedSampler`
+    (`src/tools/parsers.py:191-202`) + `rank_zero_only` write gating
+    (`src/core/trainer.py:186`, Lightning ModelCheckpoint on rank 0).
+    """
+    import json
+
+    from PIL import Image
+
+    # Shared synthetic SlowTV tree (the "shared filesystem" of a pod).
+    data = tmp_path / 'slow_tv'
+    seq = '00001'
+    for stem in range(20):
+        p = data / seq / f'{stem:010}.png'
+        p.parent.mkdir(parents=True, exist_ok=True)
+        Image.fromarray(np.random.default_rng(stem).integers(
+            0, 255, (40, 72, 3), dtype=np.uint8)).save(p)
+    np.savetxt(data / seq / 'intrinsics.txt',
+               np.array([[600, 0, 640, 0], [0, 600, 360, 0],
+                         [0, 0, 1, 0], [0, 0, 0, 1.0]]))
+    (data / 'splits' / 'all').mkdir(parents=True)
+    (data / 'splits' / 'all' / 'train_files.txt').write_text(
+        '\n'.join(f'{seq} {i}' for i in range(2, 18)))
+    (data / 'splits' / 'all' / 'val_files.txt').write_text(
+        '\n'.join(f'{seq} {i}' for i in range(2, 10)))
+    (data / 'splits' / 'categories.txt').write_text('natural-hiking\n')
+
+    ckpt_dir = tmp_path / 'run'
+    coord = f'127.0.0.1:{_free_port()}'
+    outs = [tmp_path / f'loop_p{i}.json' for i in range(2)]
+    procs = []
+    for i in range(2):
+        env = _worker_env(2, i, outs[i], coord)
+        env.update(TWOPROC_DATA=str(data), TWOPROC_CKPT=str(ckpt_dir))
+        procs.append(subprocess.Popen(
+            [sys.executable, str(LOOP_WORKER)], cwd=REPO, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
+    results = [p.communicate(timeout=1200) for p in procs]
+    if any(p.returncode != 0 for p in procs):
+        blob = '\n'.join(f'--- worker {i} rc={p.returncode} ---\n{se[-4000:]}'
+                         for i, (p, (so, se)) in enumerate(zip(procs, results)))
+        raise AssertionError(f'loop worker(s) failed:\n{blob}')
+
+    recs = {r['pid']: r for r in (json.loads(f.read_text()) for f in outs)}
+    p0, p1 = recs[0], recs[1]
+
+    # Write gating: markers + checkpoints only on process 0.
+    assert p0['is_main'] and p0['had_manager']
+    assert not p1['is_main'] and not p1['had_manager']
+    assert p0['ckpt_writes'], 'process 0 wrote no checkpoints'
+    assert p1['ckpt_writes'] == [], f'process 1 wrote: {p1["ckpt_writes"]}'
+    assert p0['finished'] and p1['finished']
+
+    # Loader shards disjoint and jointly exhaustive (16 items, 8 each).
+    s0, s1 = set(p0['shard_idxs']), set(p1['shard_idxs'])
+    assert len(s0) == len(s1) == 8
+    assert s0.isdisjoint(s1)
+    assert s0 | s1 == set(range(16))
+
+    # One global SPMD computation: identical state on both processes.
+    # 16 items / (batch 4 x 2 hosts) = 2 global steps per epoch.
+    assert p0['step_phase1'] == p1['step_phase1'] == 2
+    np.testing.assert_allclose(p0['param_norm'], p1['param_norm'], rtol=1e-6)
+
+    # Resume: both processes restart at epoch 1 and finish epoch 2.
+    assert p0['resume_start_epoch'] == p1['resume_start_epoch'] == 1
+    assert p0['step_phase2'] == p1['step_phase2'] == 4

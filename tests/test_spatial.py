@@ -146,6 +146,149 @@ class TestSpatialTraining:
                             spatial=True)
 
 
+class TestSpatialShardMapWarp:
+    """`grid_sample` under `dispatch.spatial_warp_shardmap`: the shard_map
+    wrapper that keeps the Pallas warp kernel alive per height shard in the
+    spatial train step (the full XLA fallback costs 5.3x, STATUS round 4).
+    Forward AND gradients must match the plain path exactly — including the
+    source-image cotangent, whose per-shard contributions must psum over the
+    spatial axis (every output shard reads the replicated full source)."""
+
+    def _warp_args(self, b=4, h=32, w=48, c=3):
+        rng = np.random.default_rng(3)
+        img = jnp.asarray(rng.random((b, h, w, c), dtype=np.float32))
+        grid = jnp.asarray(rng.uniform(-1.1, 1.1, (b, h, w, 2)).astype(np.float32))
+        return img, grid
+
+    def test_forward_and_grads_match_plain(self):
+        from slowtv_monodepth_tpu.ops.dispatch import spatial_warp_shardmap
+        from slowtv_monodepth_tpu.ops.sample import grid_sample
+
+        img, grid = self._warp_args()
+        cot = jnp.asarray(np.random.default_rng(5).random(img.shape[:1] + grid.shape[1:3] + img.shape[-1:], dtype=np.float32))
+
+        def loss(im, g):
+            return (grid_sample(im, g) * cot).sum()
+
+        ref, (dimg_ref, dgrid_ref) = jax.value_and_grad(loss, argnums=(0, 1))(img, grid)
+
+        mesh = _mesh2d(data=2, spatial=4)
+        with spatial_warp_shardmap(mesh):
+            out_sp = grid_sample(img, grid)
+            got, (dimg, dgrid) = jax.jit(
+                jax.value_and_grad(loss, argnums=(0, 1)))(img, grid)
+
+        np.testing.assert_allclose(np.asarray(out_sp),
+                                   np.asarray(grid_sample(img, grid)), atol=1e-6)
+        np.testing.assert_allclose(float(got), float(ref), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(dimg), np.asarray(dimg_ref),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(dgrid), np.asarray(dgrid_ref),
+                                   atol=1e-4)
+
+    def test_indivisible_shapes_fall_back(self):
+        from slowtv_monodepth_tpu.ops.dispatch import spatial_warp_shardmap
+        from slowtv_monodepth_tpu.ops.sample import grid_sample
+
+        img, grid = self._warp_args(b=3, h=30, w=48)  # 30 % 4 != 0, 3 % 2 != 0.
+        ref = grid_sample(img, grid)
+        mesh = _mesh2d(data=2, spatial=4)
+        with spatial_warp_shardmap(mesh):
+            got = grid_sample(img, grid)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+
+    def test_batch_reshard_path_matches_plain(self):
+        """b divides n_data*n_spatial -> the memory-neutral batch-resharding
+        partitioning (in_specs P((da, sa)), full height per image; the
+        training case — the warp runs on the (n_supp x n_scales x b) flat
+        stack). Forward and both gradients must match the plain path."""
+        from slowtv_monodepth_tpu.ops.dispatch import spatial_warp_shardmap
+        from slowtv_monodepth_tpu.ops.sample import grid_sample
+
+        img, grid = self._warp_args(b=16)
+        cot = jnp.asarray(np.random.default_rng(7).random(
+            img.shape[:1] + grid.shape[1:3] + img.shape[-1:], dtype=np.float32))
+
+        def loss(im, g):
+            return (grid_sample(im, g) * cot).sum()
+
+        ref, (dimg_ref, dgrid_ref) = jax.value_and_grad(
+            loss, argnums=(0, 1))(img, grid)
+
+        mesh = _mesh2d(data=2, spatial=4)
+        with spatial_warp_shardmap(mesh):
+            got, (dimg, dgrid) = jax.jit(
+                jax.value_and_grad(loss, argnums=(0, 1)))(img, grid)
+
+        np.testing.assert_allclose(float(got), float(ref), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(dimg), np.asarray(dimg_ref),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(dgrid), np.asarray(dgrid_ref),
+                                   atol=1e-4)
+
+
+class TestSpatialShardMapPhoto:
+    """Fused SSIM+L1 photo kernel under `dispatch.spatial_photo_shardmap`:
+    the batch-resharding shard_map that keeps the Pallas kernel alive in the
+    spatial train step (in_specs P((da, sa)), full height per image —
+    memory-neutral, no psum in the backward). Forward and both gradients
+    must match the plain kernel; the kernel itself runs in interpret mode on
+    CPU (SLOWTV_FORCE_PALLAS_PHOTO)."""
+
+    def _args(self, m=16, h=32, w=48, c=3):
+        rng = np.random.default_rng(11)
+        pred = jnp.asarray(rng.random((m, h, w, c), dtype=np.float32))
+        tgt = jnp.asarray(rng.random((m, h, w, c), dtype=np.float32))
+        cot = jnp.asarray(rng.random((m, h, w, 1), dtype=np.float32))
+        return pred, tgt, cot
+
+    def test_forward_and_grads_match_plain(self, monkeypatch):
+        monkeypatch.setenv('SLOWTV_FORCE_PALLAS_PHOTO', '1')
+        from slowtv_monodepth_tpu.losses.photometric import PhotoError
+        from slowtv_monodepth_tpu.ops.dispatch import spatial_photo_shardmap
+
+        pred, tgt, cot = self._args()
+        err = PhotoError(0.85)
+        assert err._fused_ok(pred), 'fused kernel not engaged'
+
+        def loss(p, t):
+            return (err(p, t) * cot).sum()
+
+        ref, (dp_ref, dt_ref) = jax.value_and_grad(
+            loss, argnums=(0, 1))(pred, tgt)
+
+        mesh = _mesh2d(data=2, spatial=4)
+        with spatial_photo_shardmap(mesh):
+            assert err._fused_ok(pred)
+            got, (dp, dt) = jax.jit(
+                jax.value_and_grad(loss, argnums=(0, 1)))(pred, tgt)
+
+        np.testing.assert_allclose(float(got), float(ref), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(dp), np.asarray(dp_ref),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(dt), np.asarray(dt_ref),
+                                   atol=1e-5)
+
+    def test_indivisible_batch_gates_fused_off(self, monkeypatch):
+        """m % (n_d*n_s) != 0 -> `_fused_ok` returns False under the spatial
+        context (the XLA path, which GSPMD partitions with halos, runs
+        instead) and the op stays exact."""
+        monkeypatch.setenv('SLOWTV_FORCE_PALLAS_PHOTO', '1')
+        from slowtv_monodepth_tpu.losses.photometric import PhotoError
+        from slowtv_monodepth_tpu.ops.dispatch import spatial_photo_shardmap
+
+        pred, tgt, _ = self._args(m=6)
+        err = PhotoError(0.85)
+        ref = err(pred, tgt)
+        mesh = _mesh2d(data=2, spatial=4)
+        with spatial_photo_shardmap(mesh):
+            assert not err._fused_ok(pred)
+            got = err(pred, tgt)
+        # Kernel-vs-XLA parity bound (matches tests/test_pallas_photo.py).
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5)
+
+
 class TestPredictorSpatialMesh:
     def test_run_forward_partial_batch(self):
         """Predictor runtime on a (data x spatial) mesh: batches pad to the
