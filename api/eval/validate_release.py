@@ -19,6 +19,13 @@ exceeds it, 3 = nothing could be evaluated (no data roots resolved).
 
 Datasets whose data (or exported GT targets) are missing are reported as
 SKIPPED and do not gate — pass `--require-data` to turn them into failures.
+
+`--preds` runs in preds-only mode: pre-computed prediction NPZs (e.g. the
+reference's released predictions) skip the checkpoint/prediction half and
+validate only the evaluator/alignment/metric stack against the published
+baselines — no checkpoints, weights conversion, or network forward needed:
+
+    slowtv-validate-release --preds /data/released_preds --out /tmp/val
 """
 from __future__ import annotations
 
@@ -86,9 +93,45 @@ class DataMissing(Exception):
     """Dataset images or exported GT targets not provisioned on this host."""
 
 
-def _evaluate_seed(ckpt_path: Path, datasets: list, aligns: list, out_dir: Path,
-                   ckpt_name: str, args) -> dict:
-    """One checkpoint over the eval matrix -> {(dataset, align): metrics}."""
+def _find_released_preds(preds_args: list, datasets: list) -> dict:
+    """`--preds` values -> {dataset: npz path}.
+
+    Accepts explicit `dataset=path.npz` pairs and/or directories searched for
+    `<dataset>.npz` / `<dataset>_*.npz` (the reference's released-prediction
+    naming, ref `api/eval/export_preds.py:19` — `np.savez_compressed(file,
+    pred=preds)`). Missing datasets are simply absent (reported SKIPPED).
+    """
+    preds_map: dict = {}
+    dirs = []
+    for item in preds_args:
+        if '=' in str(item) and not Path(item).exists():
+            ds, _, path = str(item).partition('=')
+            preds_map[ds] = Path(path)
+        elif Path(item).is_dir():
+            dirs.append(Path(item))
+        else:
+            raise FileNotFoundError(f'--preds entry "{item}" is neither a '
+                                    f'directory nor a dataset=path pair')
+    for ds in datasets:
+        if ds in preds_map:
+            continue
+        for d in dirs:
+            hits = sorted(d.glob(f'{ds}.npz')) or sorted(d.glob(f'{ds}_*.npz'))
+            if hits:
+                preds_map[ds] = hits[0]
+                break
+    return preds_map
+
+
+def _evaluate_seed(ckpt_path, datasets: list, aligns: list, out_dir: Path,
+                   ckpt_name: str, args, preds_map: dict = None) -> dict:
+    """One checkpoint over the eval matrix -> {(dataset, align): metrics}.
+
+    :param preds_map: `--preds-only` mode — {dataset: npz of released
+        predictions}; the prediction half is skipped entirely and only the
+        evaluator/alignment/metric stack runs, validating it against the
+        published result YAMLs without needing checkpoints or training.
+    """
     results: dict = {}
     for ds in datasets:
         cfg_file = REPO / 'cfg' / 'eval' / f'{ds}.yaml'
@@ -97,7 +140,12 @@ def _evaluate_seed(ckpt_path: Path, datasets: list, aligns: list, out_dir: Path,
                                     f'({cfg_file})')
         pred_file = out_dir / 'preds' / f'{ds}_{ckpt_name}.npz'
         try:
-            if pred_file.is_file() and not args.overwrite:
+            if preds_map is not None:
+                if ds not in preds_map:
+                    raise FileNotFoundError(
+                        f'no released predictions for "{ds}" in --preds')
+                preds = np.load(preds_map[ds])['pred']
+            elif pred_file.is_file() and not args.overwrite:
                 preds = np.load(pred_file)['pred']
             else:
                 cfg_ds = load_yaml(cfg_file)['dataset']
@@ -150,11 +198,19 @@ def _diff_rows(mean: dict, baseline: dict, ckpt_name: str, gate: list,
 
 def main() -> int:
     parser = ArgumentParser(description=__doc__.split('\n', 1)[0])
-    parser.add_argument('--ckpt', required=True, nargs='+', type=Path,
+    parser.add_argument('--ckpt', nargs='+', type=Path, default=None,
                         help='Released checkpoint(s): reference Lightning '
                              '.ckpt files (auto-imported) or converted run '
                              'dirs. Multiple = seeds, metrics averaged '
-                             '(the baselines are 3-seed means).')
+                             '(the baselines are 3-seed means). Required '
+                             'unless --preds is given.')
+    parser.add_argument('--preds', nargs='+', default=None,
+                        help='Preds-only mode: pre-computed prediction NPZs '
+                             '(the reference\'s released predictions) as '
+                             'directories and/or dataset=path pairs. Skips '
+                             'the prediction half entirely and validates '
+                             'only the evaluator/alignment/metric stack '
+                             'against the published baselines.')
     parser.add_argument('--model', default='kbr/base',
                         help='Baseline key (<exp>/<model>) to diff against.')
     parser.add_argument('--ckpt-name', default='last', choices=('last', 'best'),
@@ -192,9 +248,20 @@ def main() -> int:
     datasets = args.datasets or [d for d in sorted(baseline) if d != '_seeds'
                                  and args.ckpt_name in baseline[d]]
 
+    if not args.ckpt and not args.preds:
+        parser.error('one of --ckpt / --preds is required')
+
     args.out.mkdir(parents=True, exist_ok=True)
     per_seed = []
-    for i, ckpt in enumerate(args.ckpt):
+    if args.preds:
+        preds_map = _find_released_preds(args.preds, datasets)
+        LOGGER.info(f'=== Preds-only: {len(preds_map)}/{len(datasets)} '
+                    f'datasets have released predictions ===')
+        per_seed.append(_evaluate_seed(None, datasets, args.align,
+                                       args.out / 'preds_only',
+                                       args.ckpt_name, args,
+                                       preds_map=preds_map))
+    for i, ckpt in enumerate(args.ckpt or ()):
         seed_dir = args.out / f'seed_{i:03d}'
         ckpt_path = _resolve_ckpt(ckpt, args.out, i)
         LOGGER.info(f'=== Seed {i}: {ckpt_path} over {datasets} ===')
@@ -228,7 +295,8 @@ def main() -> int:
     report = {
         'model': args.model, 'ckpt_name': args.ckpt_name,
         'tolerance_pct': args.tolerance, 'gate': args.gate,
-        'n_seeds': len(args.ckpt),
+        'n_seeds': len(per_seed),
+        'preds_only': bool(args.preds) and not args.ckpt,
         'rows': [{'dataset': r[0], 'align': r[1], 'metric': r[2],
                   'ours': r[3], 'reference': r[4], 'deviation_pct': r[5],
                   'status': r[6]} for r in rows],

@@ -328,7 +328,13 @@ class MonoDepthLoop:
                 # End-of-fit barrier (Lightning's DDP teardown equivalent):
                 # non-main processes must not return — and e.g. read the
                 # `finished` marker or the final checkpoints — before
-                # process 0 has written them.
+                # process 0 has written them. Success path only, by design:
+                # if a peer raises mid-fit the remaining processes block
+                # here until the jax.distributed coordinator/heartbeat
+                # timeout tears the job down. That is the intended failure
+                # mode for SPMD (any mid-step failure already wedges the
+                # next collective); a bounded barrier would only shift where
+                # the timeout fires.
                 from jax.experimental import multihost_utils
                 multihost_utils.sync_global_devices('slowtv_fit_end')
         except BaseException:

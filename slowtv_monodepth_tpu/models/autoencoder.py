@@ -12,6 +12,7 @@ import jax.numpy as jnp
 
 from . import decoders  # noqa: F401
 from .. import DEC_REG, register
+from ..ops.dispatch import constrain_spatial
 from ..utils import sort_dict
 from .encoders import create_encoder
 
@@ -45,6 +46,9 @@ class AutoencoderNet(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False) -> dict:
         """:return: {autoenc_feats: [(b, ., ., c)], autoenc_imgs: {s: (b, ., ., 3)}}."""
         feat = self.encoder(x, train=train)
+        # Spatial-mesh layout pin, same rationale as DepthNet/PoseNet
+        # (no-op outside `spatial_sharding_hint`).
+        feat = [constrain_spatial(f) for f in feat]
         return {
             'autoenc_feats': feat,
             'autoenc_imgs': sort_dict(self.decoder(feat, train=train)),

@@ -11,6 +11,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from .. import register
+from ..ops.dispatch import constrain_spatial
 from .encoders import create_encoder
 
 __all__ = ['PoseNet']
@@ -95,6 +96,12 @@ class PoseNet(nn.Module):
             s = self.input_scale
             x = nn.avg_pool(x, (s, s), strides=(s, s))
         feat = self.encoder(x, train=train)
+        # Same layout pin as DepthNet._forward (no-op outside a spatial
+        # mesh): without it GSPMD height-shards deep pose stages whose
+        # height is below the spatial axis size and the relu transpose pays
+        # an involuntary full rematerialization (MULTICHIP_r04.json tail,
+        # `transpose(jvp(PoseNet))/encoder/select_n`).
+        feat = [constrain_spatial(f) for f in feat]
         feat = self.squeeze(feat[-1])
 
         out = self.pose_eps * self.head_pose(feat)  # (b, 6*n_imgs)

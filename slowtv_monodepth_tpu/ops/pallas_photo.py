@@ -336,8 +336,15 @@ def photo_err_ssim(pred: jnp.ndarray, target: jnp.ndarray,
     ctx = spatial_photo_context()
     if ctx is not None:
         out = _photo_err_spatial(pred, target, float(w_ssim), ctx)
-        if out is not None:
-            return out
+        if out is None:
+            # Batch does not divide the mesh: the raw Pallas launch has no
+            # GSPMD partitioning rule, so a direct caller under this context
+            # must take the exact XLA formulation (which GSPMD partitions
+            # with halos) instead. `PhotoError._fused_ok` pre-gates this for
+            # the train step; this guard covers direct callers.
+            from ..losses.photometric import PhotoError
+            return PhotoError(float(w_ssim))._call4(pred, target)
+        return out
     return _photo_core(pred, target, float(w_ssim))[..., None]
 
 

@@ -110,10 +110,13 @@ def make_train_step(trainer, supp_idxs: tuple, tx, mesh: Optional[Mesh] = None,
         `spatial` axis (`parallel/spatial.py`) — activation memory scales
         down with the spatial axis size, so resolutions whose train-step
         live set OOMs one chip train unmodified. XLA partitions the convs
-        with halo exchanges and the warp/photometric gathers with the
-        collectives its partitioner derives; the hand-written Pallas kernels
-        have no SPMD partitioning rule, so this path pins their XLA
-        fallbacks (exact — `tests/test_spatial.py` pins loss equality).
+        with halo exchanges; the hand-written Pallas warp/photo kernels have
+        no GSPMD partitioning rule, so by default they stay alive through
+        shard_map dispatch (`dispatch.spatial_{warp,photo}_shardmap` — see
+        the comment block below). Setting SLOWTV_SPATIAL_SHARDMAP_WARP=0 /
+        SLOWTV_SPATIAL_SHARDMAP_PHOTO=0 (or hitting an indivisible shape)
+        pins the exact XLA fallbacks instead (`tests/test_spatial.py` pins
+        loss equality either way).
     :return: step(state, x, y, rng) -> (state, scalars) jitted.
     """
     step = trainer.make_step_fn(tuple(supp_idxs), tx, train=train)

@@ -116,3 +116,59 @@ def test_validate_release_dress_rehearsal(syns_root, tmp_path, capsys):  # noqa:
         assert statuses.get('sintel') == 'SKIPPED'
     finally:
         resnet_mod.RESNET_SPECS['resnet18'] = orig
+
+
+def test_validate_release_preds_only(syns_root, tmp_path, capsys):  # noqa: F811
+    """`--preds` validates ONLY the evaluator/alignment/metric stack from
+    pre-computed prediction NPZs (the reference's released predictions) —
+    no checkpoints, conversion, or network forward (VERDICT r04 item 9)."""
+    _run_script(API / 'data' / 'export_gt' / 'from_dataset.py',
+                ['--type', 'syns_patches', '--mode', 'test',
+                 '--datum', 'image depth edge K'])
+
+    released = tmp_path / 'released'
+    released.mkdir()
+    rng = np.random.default_rng(0)
+    # (b, h, w) unscaled disparities, reference release layout
+    # (`api/eval/export_preds.py:19`: np.savez_compressed(file, pred=...)).
+    preds = (0.05 + rng.random((2, 48, 64))).astype(np.float32)
+    np.savez_compressed(released / 'syns_test.npz', pred=preds)
+
+    # FAIL path: random preds cannot match the published kbr/base numbers.
+    out1 = tmp_path / 'po_fail'
+    rc = _run_validate(['--preds', released, '--model', 'kbr/base',
+                        '--datasets', 'syns_test', '--out', out1,
+                        '--nproc', 1])
+    assert rc == 1, f'expected gate failure, got rc={rc}'
+    report = yaml.safe_load((out1 / 'validation_report.yaml').read_text())
+    assert report['preds_only'] is True and report['n_seeds'] == 1
+    assert report['n_failed'] > 0
+    for align in ('lsqr', 'median'):
+        f = out1 / 'preds_only' / 'results' / f'syns_test_last_{align}.yaml'
+        assert f.is_file(), f'missing result YAML {f}'
+        assert np.isfinite(yaml.safe_load(f.read_text())['AbsRel'])
+
+    # PASS path vs self-seeded baselines, using the dataset=path pair form.
+    ours = {a: {r['metric']: r['ours'] for r in report['rows']
+                if r['align'] == a} for a in ('lsqr', 'median')}
+    base_file = tmp_path / 'baselines_po.yaml'
+    base_file.write_text(yaml.safe_dump(
+        {'kbr/base': {'syns_test': {'last': ours}}}))
+    out2 = tmp_path / 'po_pass'
+    rc = _run_validate(['--preds', f'syns_test={released / "syns_test.npz"}',
+                        '--model', 'kbr/base', '--datasets', 'syns_test',
+                        '--out', out2, '--baselines', base_file,
+                        '--nproc', 1])
+    assert rc == 0, 'expected pass against self-seeded baselines'
+    report2 = yaml.safe_load((out2 / 'validation_report.yaml').read_text())
+    assert report2['passed'] is True and report2['n_evaluated'] == 4
+
+    # Datasets with no released preds are SKIPPED, not failed.
+    out3 = tmp_path / 'po_skip'
+    rc = _run_validate(['--preds', released, '--model', 'kbr/base',
+                        '--datasets', 'syns_test', 'sintel', '--out', out3,
+                        '--baselines', base_file, '--nproc', 1])
+    assert rc == 0
+    report3 = yaml.safe_load((out3 / 'validation_report.yaml').read_text())
+    statuses = {r['dataset']: r['status'] for r in report3['rows']}
+    assert statuses.get('sintel') == 'SKIPPED'
