@@ -23,7 +23,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
 TRACE_DIR = '/tmp/jtrace'
 
 
-def capture(batch: int, steps: int, warp_bf16: bool = False) -> None:
+def capture(batch: int, steps: int, warp_bf16: bool = False,
+            pose_scale: int = 2) -> None:
     import jax
     import jax.numpy as jnp
 
@@ -41,7 +42,7 @@ def capture(batch: int, steps: int, warp_bf16: bool = False) -> None:
                       'dec_name': 'monodepth', 'out_scales': (0, 1, 2, 3),
                       'gelu': 'tanh', 'dec_pad_mode': 'zeros'},
             'pose': {'enc_name': 'convnext_tiny', 'pretrained': False,
-                     'learn_K': True, 'gelu': 'tanh', 'input_scale': 2},
+                     'learn_K': True, 'gelu': 'tanh', 'input_scale': pose_scale},
         },
         'loss': {
             'img_recon': {'weight': 1, 'use_min': True, 'use_automask': True},
@@ -176,7 +177,8 @@ if __name__ == '__main__':
     ap.add_argument('--top', type=int, default=40)
     ap.add_argument('--parse-only', action='store_true')
     ap.add_argument('--warp-bf16', action='store_true')
+    ap.add_argument('--pose-scale', type=int, default=2)
     args = ap.parse_args()
     if not args.parse_only:
-        capture(args.batch, args.steps, args.warp_bf16)
+        capture(args.batch, args.steps, args.warp_bf16, args.pose_scale)
     parse(args.steps, args.top)
