@@ -70,7 +70,25 @@ def save_disp(disp: np.ndarray, img_file: Path, out_dir: Path, out_ext: list) ->
             raise ValueError(f'Invalid extension "{ext}".')
 
 
+def default_img_dir() -> Path:
+    """`assets/demo`, generated on first use (assets/README.md).
+
+    Mirrors the reference's demo default (ref `api/quickstart/run.py:118`
+    points at its `assets/` photos); ours are synthetic stand-ins created
+    locally since the real photos are release artifacts.
+    """
+    demo = Path(__file__).resolve().parents[2] / 'assets' / 'demo'
+    if not (demo.is_dir() and any(demo.glob('*.png'))):
+        import runpy
+        gen = demo.parent / 'generate.py'
+        print(f'-> Generating demo images in "{demo}"...')
+        runpy.run_path(str(gen), run_name='__main__')
+    return demo
+
+
 def main(args):
+    if args.img_dir is None:
+        args.img_dir = default_img_dir()
     predictor = BenchmarkPredictor()
     net = predictor.load_model(args.ckpt_file)
 
@@ -89,7 +107,9 @@ def main(args):
 def cli():
     parser = ArgumentParser('Run KBR predictions on a directory of images.')
     parser.add_argument('--ckpt-file', type=Path, required=True)
-    parser.add_argument('--img-dir', type=Path, required=True)
+    parser.add_argument('--img-dir', type=Path, default=None,
+                        help='Defaults to assets/demo (generated on first '
+                             'use; see assets/README.md).')
     parser.add_argument('--img-ext', default='.png')
     parser.add_argument('--out-dir', type=Path, default=None)
     parser.add_argument('--out-ext', nargs='+', default=['.png', '.npy'])

@@ -340,3 +340,27 @@ def test_export_preds_sharded_matches_single(syns_root, tmp_path):
     with pytest.raises(ValueError, match='must divide'):
         compute_preds(dict(cfg), str(run_dir / 'last'), num_workers=0,
                       devices=8, spatial_shards=4, model_shards=4)
+
+
+def test_quickstart_default_img_dir(tmp_path):
+    """With --img-dir omitted, quickstart generates + uses `assets/demo`
+    (synthetic stand-ins for the reference's assets photos — see
+    assets/README.md)."""
+    import shutil
+    run_dir = _make_finished_run(tmp_path)
+    out_dir = tmp_path / 'out_demo'
+    demo = Path(__file__).resolve().parents[1] / 'assets' / 'demo'
+    existed = demo.is_dir()
+    try:
+        _run_script(API / 'quickstart' / 'run.py',
+                    ['--ckpt-file', run_dir / 'last', '--out-dir', out_dir,
+                     '--width', 96, '--height', 64])
+        npys = sorted(out_dir.glob('*.npy'))
+        assert len(npys) == 6, npys  # 2 images x 3 demo categories
+        for f in npys:
+            disp = np.load(f)
+            assert disp.shape[:2] == (384, 640)  # back at source resolution
+            assert np.isfinite(disp).all()
+    finally:
+        if not existed:
+            shutil.rmtree(demo, ignore_errors=True)
