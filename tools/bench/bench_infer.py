@@ -117,13 +117,22 @@ def bench_sharded(batch: int, flavor: str, data: int, model: int,
     mesh = make_mesh(tuple(sizes), tuple(axes),
                      platform='cpu' if platform == 'cpu' else None)
 
-    kw = dict(enc_name='convnext_base', pretrained=False,
-              dec_name='monodepth', out_scales=(0, 1, 2, 3))
-    if flavor == 'tpu-bf16':
-        kw.update(gelu='tanh', dec_pad_mode='zeros')
+    # TP (`--model-shards`) is Megatron-style over TRANSFORMER trunks
+    # (`parallel/tp.py` shards attn/mlp dense kernels; convnets replicate
+    # and a model axis buys nothing) — so the TP rows use the quickstart
+    # DPT ViT trunk, the serving model TP exists for.
+    h, w = (H, W) if flavor != 'dpt-vit' else (384, 384)
+    if flavor == 'dpt-vit':
+        kw = dict(enc_name='vitb16_384', pretrained=False, dec_name='dpt',
+                  out_scales=(0,))
+    else:
+        kw = dict(enc_name='convnext_base', pretrained=False,
+                  dec_name='monodepth', out_scales=(0, 1, 2, 3))
+        if flavor == 'tpu-bf16':
+            kw.update(gelu='tanh', dec_pad_mode='zeros')
     net = DepthNet(**kw)
     rng = np.random.default_rng(0)
-    imgs = jnp.asarray(rng.random((batch, H, W, 3), np.float32))
+    imgs = jnp.asarray(rng.random((batch, h, w, 3), np.float32))
     with mesh, jax.default_device(mesh.devices.flat[0]):
         variables = net.init(jax.random.PRNGKey(1), imgs, train=False)
         if flavor == 'tpu-bf16':
@@ -183,7 +192,7 @@ def main():
                     help='Sharded mode backend: virtual CPU mesh (op/HLO '
                          'evidence) or the default backend (real chips).')
     ap.add_argument('--flavor', default='tpu-bf16',
-                    choices=('exact-f32', 'tpu-bf16'),
+                    choices=('exact-f32', 'tpu-bf16', 'dpt-vit'),
                     help='Sharded mode network flavor.')
     args = ap.parse_args()
 
