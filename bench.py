@@ -129,8 +129,9 @@ def _probe_backend(timeout_s: float | None = None):
         os.execv(sys.executable, [sys.executable, os.path.abspath(__file__)])
     print(f'bench: {why} (accelerator runtime unreachable after '
           f'{attempt + 1} attempts). This measures the tunnel, not the '
-          f'framework: last on-chip steady state was 69.3 imgs/s/chip '
-          f'(vs_baseline 2.31, MFU 0.202) — see STATUS.md "Round 3".',
+          f'framework: last on-chip steady state was 69.4 imgs/s/chip '
+          f'(vs_baseline 2.31, MFU 0.202; fullres-pose 53.3 / exact 27.5 '
+          f'same session) — see STATUS.md "Round 5".',
           file=sys.stderr)
     sys.exit(1)
 

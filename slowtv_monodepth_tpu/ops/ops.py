@@ -61,15 +61,43 @@ def eye_like(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.broadcast_to(jnp.eye(n, dtype=x.dtype), x.shape)
 
 
+def _linear_resize_axis(x: jnp.ndarray, out_size: int, axis: int) -> jnp.ndarray:
+    """1-D linear resample along `axis`, torch `F.interpolate(bilinear,
+    align_corners=False)` semantics: 2-tap at half-pixel centers with the
+    source coordinate clamped to >= 0 (aten `area_pixel_compute_source_index`)
+    — NO antialiasing on downsample, unlike `jax.image.resize('linear')`,
+    whose scale-widened triangle kernel diverges from torch by O(0.1) on
+    unit-range images at 2x downsampling (caught by
+    tests/test_convergence_horizon.py: a 1.7% disp_smooth offset hiding
+    under the 1e-3 loss weight)."""
+    n = x.shape[axis]
+    if n == out_size:
+        return x
+    idx = (jnp.arange(out_size, dtype=jnp.float32) + 0.5) * (n / out_size) - 0.5
+    idx = jnp.clip(idx, 0.0, n - 1)
+    lo = jnp.floor(idx).astype(jnp.int32)
+    hi = jnp.minimum(lo + 1, n - 1)
+    w = (idx - lo).astype(x.dtype)
+    shape = [1] * x.ndim
+    shape[axis] = out_size
+    w = w.reshape(shape)
+    return jnp.take(x, lo, axis=axis) * (1 - w) + jnp.take(x, hi, axis=axis) * w
+
+
 def resize(x: jnp.ndarray, shape: tuple[int, int], method: str = 'bilinear') -> jnp.ndarray:
     """Resize NHWC images to `shape=(h, w)`.
 
-    `bilinear` matches torch's `align_corners=False` (half-pixel centers) —
-    the convention used everywhere in the reference (`F.interpolate` defaults).
+    `bilinear` matches torch's `align_corners=False` exactly, up AND down
+    (separable 2-tap; see `_linear_resize_axis` for why `jax.image.resize`
+    is wrong on downsampling). The reference uses `F.interpolate` defaults
+    everywhere (`src/tools/ops.py:interpolate_like`).
     """
     if x.shape[1:3] == tuple(shape):
         return x
-    jax_method = {'bilinear': 'linear', 'nearest': 'nearest', 'bicubic': 'cubic'}[method]
+    if method == 'bilinear':
+        x = _linear_resize_axis(x, shape[0], axis=1)
+        return _linear_resize_axis(x, shape[1], axis=2)
+    jax_method = {'nearest': 'nearest', 'bicubic': 'cubic'}[method]
     out_shape = (x.shape[0], shape[0], shape[1], x.shape[3])
     return jax.image.resize(x, out_shape, method=jax_method)
 

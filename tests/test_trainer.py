@@ -403,8 +403,10 @@ class TestGradAccumulation:
         state_b, _ = step_b(state_b, x, y, rng)
 
         # atol: f32 reassociation noise — grads over (2b,...) vs two (b,...)
-        # layouts reduce in different orders (observed max diff ~8e-7).
+        # layouts reduce in different orders (observed ~8e-7 historically;
+        # 3.5e-6 on one element of 60k after the r05 torch-exact resize
+        # changed the smoothness-gradient fusion order).
         jax.tree_util.tree_map(
             lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                                    rtol=2e-5, atol=3e-6),
+                                                    rtol=2e-5, atol=6e-6),
             state_a.params, state_b.params)

@@ -16,8 +16,17 @@ Variants:
 Same-process interleaved timing, best-of-rounds (cross-session wall clock
 drifts ~15% on the axon tunnel — see STATUS.md measurement lessons).
 
+Sharded serving characterization (VERDICT r04 item 7): any of
+`--devices N --model-shards M --spatial-shards S` switches to the
+mesh-partitioned export forward (exactly `core/predictors.py`'s placement)
+and reports per-device FLOPs/bytes + the collective mix — on the virtual
+CPU mesh as op/HLO evidence, on real multi-chip hardware with wall imgs/s.
+See STATUS.md round 5 for the recorded table.
+
 Usage:
     python tools/bench/bench_infer.py [--batch 12] [--iters 20] [--rounds 3]
+    python tools/bench/bench_infer.py --devices 4 --spatial-shards 2
+    python tools/bench/bench_infer.py --devices 2 --model-shards 4 --flavor dpt-vit
 """
 from __future__ import annotations
 

@@ -22,8 +22,8 @@ python -m pytest tests/ -q -m 'not slow' -p no:cacheprovider 2>&1 | tee "$FAST_L
 fast_rc=${PIPESTATUS[0]}
 t1=$(date +%s)
 
-echo "== phase 2: slow suite (-m slow, 3600s phase budget) =="
-timeout 3600 python -m pytest tests/ -q -m slow -p no:cacheprovider 2>&1 | tee "$SLOW_LOG" | tail -5
+echo "== phase 2: slow suite (-m slow, 7200s phase budget) =="
+timeout 7200 python -m pytest tests/ -q -m slow -p no:cacheprovider 2>&1 | tee "$SLOW_LOG" | tail -5
 slow_rc=${PIPESTATUS[0]}
 t2=$(date +%s)
 
