@@ -73,6 +73,20 @@ def _linear_resize_axis(x: jnp.ndarray, out_size: int, axis: int) -> jnp.ndarray
     n = x.shape[axis]
     if n == out_size:
         return x
+    if n % out_size == 0:
+        # Integer-factor downsample: src = (i + 0.5)s - 0.5 = si + (s-1)/2.
+        # Even s -> mean of the two middle samples of each group; odd s ->
+        # the middle sample. Reshape + slice: no gather in the hot train
+        # step (the disp_smooth image pyramid is all integer factors).
+        s = n // out_size
+        shape = x.shape[:axis] + (out_size, s) + x.shape[axis + 1:]
+        g = x.reshape(shape)
+        lo = jnp.take(g, (s - 1) // 2, axis=axis + 1)
+        if s % 2 == 0:
+            hi = jnp.take(g, s // 2, axis=axis + 1)
+            half = jnp.asarray(0.5, x.dtype)
+            return (lo + hi) * half
+        return lo
     idx = (jnp.arange(out_size, dtype=jnp.float32) + 0.5) * (n / out_size) - 0.5
     idx = jnp.clip(idx, 0.0, n - 1)
     lo = jnp.floor(idx).astype(jnp.int32)
